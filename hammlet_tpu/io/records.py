@@ -1,0 +1,176 @@
+"""Output record streams with reference-compatible CSV formats.
+
+Replaces src/Records.hpp and src/StateMarginals.hpp. The reference maintains
+a run-length-compressed marginal count store updated serially per recorded
+segment; here the marginal counts accumulate on device ((T, K) int32, sharded
+with the position axis) together with the union of segment boundaries, and
+RLE compression happens once at save time — producing the identical
+marginals CSV (rows are the refinement of all recorded segmentations:
+``segsize\\tcount_s0\\tcount_s1...``, StateMarginals.hpp:268-310).
+
+File naming and formats (Records.hpp:52-144, verified against the compiled
+reference binary — SURVEY.md §7):
+- ``{prefix}marginals{suffix}``:   ``segsize\\tc0\\tc1...`` per segment row
+- ``{prefix}sequences{suffix}``:   per recorded sweep, tab-separated
+                                   ``SIZE:STATE`` run-length tokens
+- ``{prefix}blocks{suffix}``:      per recorded sweep, tab-separated block sizes
+- ``{prefix}compression{suffix}``: per recorded sweep, T / #blocks
+- ``{prefix}parameters{suffix}``:  per recorded sweep, tab-separated
+                                   ``mean\\tvar`` per emission parameter
+- ``{prefix}segments{suffix}``:    per recorded sweep, #segments and internal
+                                   marginal-store size
+"""
+
+from __future__ import annotations
+
+import os
+from typing import IO
+
+import numpy as np
+
+
+def _fmt(x: float) -> str:
+    """std::to_string-compatible float formatting (6 fixed decimals)."""
+    return f"{x:.6f}"
+
+
+def _fmt_g(x: float) -> str:
+    """Default ostream<<double formatting (6 significant digits)."""
+    return f"{x:.6g}"
+
+
+class Records:
+    """Host-side output hub. Device work stays in RecordBuffers; this class
+    only turns fetched arrays into the reference CSV streams."""
+
+    STREAMS = ("marginals", "sequences", "blocks", "compression", "parameters", "segments")
+
+    def __init__(
+        self,
+        T: int,
+        prefix: str,
+        suffix: str,
+        nr_states: int,
+        outputs: set[str] | None = None,
+        overwrite: bool = False,
+    ):
+        self.T = T
+        self.nr_states = nr_states
+        self.prefix = prefix
+        self.suffix = suffix
+        outputs = {"marginals"} if outputs is None else set(outputs)
+        unknown = outputs - set(self.STREAMS) - {"mapping"}
+        if unknown:
+            raise ValueError(f"unknown output streams: {sorted(unknown)}")
+        self.enabled = outputs
+        self._files: dict[str, IO[str]] = {}
+        for name in self.STREAMS:
+            if name in self.enabled:
+                path = prefix + name + suffix
+                if os.path.exists(path) and not overwrite:
+                    raise FileExistsError(
+                        f"File {path} already exists! Use -w to allow overwrite!"
+                    )
+                self._files[name] = open(path, "w")
+
+    # -- per-sweep records ------------------------------------------------
+
+    def wants_block_level(self) -> bool:
+        """True if any stream needs per-sweep block/state arrays on host."""
+        return bool(
+            {"sequences", "blocks", "compression", "segments"} & self.enabled
+        )
+
+    def record_sweep(
+        self,
+        states: np.ndarray,
+        sizes: np.ndarray,
+        n_blocks: int,
+        n_boundaries: int | None = None,
+    ) -> None:
+        """Record one sweep's block-level results (reference
+        Records::record(state, N), Records.hpp:155-235)."""
+        states = states[:n_blocks]
+        sizes = sizes[:n_blocks]
+        if "blocks" in self._files:
+            self._files["blocks"].write("\t".join(str(int(n)) for n in sizes) + "\n")
+        if "compression" in self._files:
+            self._files["compression"].write(
+                _fmt_g(self.T / max(1, n_blocks)) + "\n"
+            )
+        if "sequences" in self._files or "segments" in self._files:
+            seg_sizes, seg_states = _merge_runs(states, sizes)
+            if "sequences" in self._files:
+                self._files["sequences"].write(
+                    "\t".join(
+                        f"{int(n)}:{int(s)}" for n, s in zip(seg_sizes, seg_states)
+                    )
+                    + "\n"
+                )
+            if "segments" in self._files:
+                nseg = n_boundaries + 1 if n_boundaries is not None else len(seg_sizes)
+                # internal size of our store: one count row per segment
+                internal = nseg * (self.nr_states + 1)
+                self._files["segments"].write(f"{nseg}\t{internal}\n")
+
+    def record_theta(self, theta_mean: np.ndarray, theta_var: np.ndarray) -> None:
+        """Records.hpp:146-153 / Theta::str (mean, var per parameter)."""
+        if "parameters" in self._files:
+            self._files["parameters"].write(
+                "\t".join(
+                    _fmt(m) + "\t" + _fmt(v)
+                    for m, v in zip(theta_mean.tolist(), theta_var.tolist())
+                )
+                + "\n"
+            )
+
+    # -- final marginals --------------------------------------------------
+
+    def save_marginals(self, counts: np.ndarray, ever_boundary: np.ndarray) -> None:
+        """Write the RLE marginals CSV from on-device accumulators.
+
+        counts: (T, K) recorded per-position state counts
+        ever_boundary: (T,) union of recorded segment starts (t >= 1)
+        """
+        if "marginals" not in self._files:
+            return
+        f = self._files["marginals"]
+        starts = np.flatnonzero(np.concatenate([[True], ever_boundary[1:]]))
+        ends = np.concatenate([starts[1:], [self.T]])
+        # the reference only emits columns up to the highest state ever
+        # recorded (StateMarginals.hpp:272 note)
+        nonzero_states = np.flatnonzero(counts.sum(axis=0) > 0)
+        n_cols = int(nonzero_states[-1]) + 1 if len(nonzero_states) else 1
+        seg_counts = counts[starts, :n_cols]
+        lines = []
+        for (s, e), row in zip(zip(starts, ends), seg_counts):
+            lines.append(
+                str(int(e - s)) + "\t" + "\t".join(str(int(c)) for c in row)
+            )
+        f.write("\n".join(lines) + "\n")
+
+    def close(self) -> None:
+        for fh in self._files.values():
+            fh.close()
+        self._files.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _merge_runs(states: np.ndarray, sizes: np.ndarray):
+    """Merge adjacent equal-state blocks into segments (Records.hpp:167-188)."""
+    if len(states) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    change = np.concatenate([[True], states[1:] != states[:-1]])
+    seg_idx = np.cumsum(change) - 1
+    seg_sizes = np.bincount(seg_idx, weights=sizes).astype(np.int64)
+    seg_states = states[change]
+    return seg_sizes, seg_states
+
+
+def output_paths(prefix: str, suffix: str) -> dict[str, str]:
+    return {name: prefix + name + suffix for name in Records.STREAMS}

@@ -1,0 +1,87 @@
+"""Conjugate updates and posterior draws as pure JAX functions.
+
+Replaces the reference's Conjugate/Distribution/Theta/Transitions/Initial
+object graph (src/Conjugate.hpp, src/Distribution.hpp, src/Theta.hpp,
+src/Transitions.hpp, src/Initial.hpp) with vectorized functional updates on
+parameter arrays, driven by counter-based ``jax.random`` keys. RNG-stream
+parity with the reference's single mt19937 is a non-goal (BASELINE.json);
+the draws are from the identical distributions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def nig_update(prior: jax.Array, sums: jax.Array, sumsqs: jax.Array, counts: jax.Array) -> jax.Array:
+    """Batch Normal-Inverse-Gamma conjugate update.
+
+    prior:  (P, 4) float32 rows (alpha, beta, mu0, nu)
+    sums/sumsqs/counts: (P,) aggregated observation statistics per parameter
+    Returns the (P, 4) posterior. Parameters with zero observations keep the
+    prior. Mirrors Conjugate.hpp:120-168 including the guard clamping the
+    naive (sum^2/N) term at sumSq to avoid negative sample variance.
+    """
+    alpha, beta, mu0, nu = prior[:, 0], prior[:, 1], prior[:, 2], prior[:, 3]
+    n = counts.astype(jnp.float32)
+    safe_n = jnp.maximum(n, 1.0)
+    xbar = sums / safe_n
+    ssn = jnp.minimum((sums * sums) / safe_n, sumsqs)
+    new_alpha = alpha + n / 2.0
+    new_beta = beta + (
+        (sumsqs + (n * nu / (n + nu)) * (xbar - mu0) ** 2) - ssn
+    ) / 2.0
+    new_mu0 = (nu * mu0 + sums) / (nu + n)
+    new_nu = nu + n
+    post = jnp.stack([new_alpha, new_beta, new_mu0, new_nu], axis=1)
+    return jnp.where((counts > 0)[:, None], post, prior)
+
+
+def nig_sample(key: jax.Array, params: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Draw (mean, var) per parameter from NIG rows (alpha, beta, mu0, nu).
+
+    var ~ InvGamma(alpha, beta) = beta / Gamma(alpha, 1);
+    mean ~ Normal(mu0, sqrt(var / nu)).  (Distribution.hpp:76-87)
+    """
+    kg, kn = jax.random.split(key)
+    alpha, beta, mu0, nu = params[:, 0], params[:, 1], params[:, 2], params[:, 3]
+    g = jax.random.gamma(kg, alpha)
+    var = beta / g
+    mean = mu0 + jnp.sqrt(var / nu) * jax.random.normal(kn, alpha.shape)
+    return mean, var
+
+
+def dirichlet_sample(key: jax.Array, alphas: jax.Array) -> jax.Array:
+    """Dirichlet draw(s) via normalized Gammas (Distribution.hpp:116-139).
+    alphas: (..., K); normalizes over the last axis."""
+    g = jax.random.gamma(key, alphas)
+    return g / jnp.sum(g, axis=-1, keepdims=True)
+
+
+def emission_log_weights(
+    block_stats: jax.Array,
+    sizes: jax.Array,
+    theta_mean: jax.Array,
+    theta_var: jax.Array,
+    mapping: jax.Array,
+) -> jax.Array:
+    """Per-(block, state) log emission weight E (without self-transitions).
+
+    E_b(s) = sum_d [ (2 mu sum_x - sum_x2) / (2 var) ]_{p = mapping[s,d]}
+             - N_b * sum_d logNormalizer(p)
+    (EFD.hpp:23-38, ForwardBackward.hpp:75)
+
+    block_stats: (B, dim, 2); sizes: (B,); theta_*: (P,); mapping: (K, dim)
+    Returns (B, K) float32.
+    """
+    a = theta_mean / theta_var  # per param: mu / var
+    b = 0.5 / theta_var  # per param: 1 / (2 var)
+    c = 0.5 * jnp.log(theta_var) + theta_mean**2 * b  # log sigma + mu^2/(2 var)
+    A = a[mapping]  # (K, dim)
+    Bc = b[mapping]
+    C = jnp.sum(c[mapping], axis=1)  # (K,)
+    sums = block_stats[..., 0]  # (B, dim)
+    sumsqs = block_stats[..., 1]
+    ip = sums @ A.T - sumsqs @ Bc.T  # (B, K)
+    return ip - sizes.astype(jnp.float32)[:, None] * C[None, :]

@@ -1,0 +1,145 @@
+"""Dynamic block compression: boundary extraction + O(1) block statistics.
+
+The reference iterates blocks serially with a monotonic-stack pointer array
+(src/Blocks/BreakpointArray.hpp:130-235) and queries block sufficient
+statistics from a cell-structured Kahan prefix-sum array
+(src/Statistics/IntegralArray.hpp:102-124). On TPU both become fixed-shape
+vector ops:
+
+- a block starts at every position t with weight[t] >= threshold
+  (w[0] = inf); boundaries are extracted with a fixed-capacity ``nonzero``.
+- block sufficient statistics come from two gathers into precomputed
+  prefix-sum arrays, decomposed into cells of 2^16 positions to bound float32
+  error exactly like the reference's CELLSIZE scheme:
+      sum[x, start:end) = R[start] - R[end] + Q2[end >> 16] - Q2[start >> 16]
+  where R[i] is the float32 in-cell reverse cumulative sum (accumulated in
+  float64 at ingest, rounded once) and Q2[c] is the inclusive cross-cell
+  prefix held as a float32 (hi, lo) pair so cell-count differences keep
+  ~float64 accuracy.
+
+All shapes are static: boundaries are padded with T (empty blocks of size 0)
+up to a caller-chosen capacity, so XLA compiles the sweep once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+CELL_BITS = 16
+CELL = 1 << CELL_BITS
+
+
+class PrefixStats(NamedTuple):
+    """Cell-structured prefix sums of per-position sufficient statistics.
+
+    r:      (T+1, dim, 2) float32 — in-cell reverse cumsum of (x, x^2);
+            r[i] = sum over [i, cell_end(i)) of the stat. r[T] handles
+            end-of-data queries (always 0 at a cell boundary).
+    q2_hi:  (n_cells+1, dim, 2) float32 — inclusive cross-cell prefix (hi).
+    q2_lo:  (n_cells+1, dim, 2) float32 — residual (lo) of the same.
+    """
+
+    r: jax.Array
+    q2_hi: jax.Array
+    q2_lo: jax.Array
+
+    @property
+    def T(self) -> int:
+        return self.r.shape[0] - 1
+
+    @property
+    def dim(self) -> int:
+        return self.r.shape[1]
+
+
+def build_prefix_stats(data: np.ndarray) -> PrefixStats:
+    """Host-side ingest: build PrefixStats from raw data (T,) or (T, dim).
+
+    Accumulation runs in float64 and is rounded to float32 once, which
+    dominates the accuracy of the reference's float32 Kahan cells.
+    """
+    data = np.asarray(data, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[:, None]
+    T, dim = data.shape
+    stats = np.stack([data, data * data], axis=-1)  # (T, dim, 2)
+    n_cells = (T + CELL - 1) // CELL
+
+    r = np.zeros((T + 1, dim, 2), dtype=np.float64)
+    cell_tot = np.zeros((n_cells, dim, 2), dtype=np.float64)
+    for c in range(n_cells):
+        lo, hi = c * CELL, min((c + 1) * CELL, T)
+        seg = stats[lo:hi]
+        rc = np.cumsum(seg[::-1], axis=0)[::-1]  # reverse cumsum within cell
+        r[lo:hi] = rc
+        cell_tot[c] = rc[0]
+    # r[T] = 0 (query at end-of-data)
+
+    # inclusive cell prefix: q2[c] = sum of cells 0..c, with the final entry
+    # duplicated so c(end)=n_cells (end == T at a cell boundary) works
+    q2 = np.zeros((n_cells + 1, dim, 2), dtype=np.float64)
+    np.cumsum(cell_tot, axis=0, out=q2[:n_cells])
+    q2[n_cells] = q2[n_cells - 1]
+    q2_hi = q2.astype(np.float32)
+    q2_lo = (q2 - q2_hi.astype(np.float64)).astype(np.float32)
+
+    return PrefixStats(
+        r=jnp.asarray(r.astype(np.float32)),
+        q2_hi=jnp.asarray(q2_hi),
+        q2_lo=jnp.asarray(q2_lo),
+    )
+
+
+class BlockStructure(NamedTuple):
+    """Fixed-capacity block decomposition of [0, T).
+
+    starts: (Bcap,) int32 — block start positions, padded with T
+    ends:   (Bcap,) int32 — block end positions (exclusive), padded with T
+    sizes:  (Bcap,) int32 — block sizes, 0 for padding
+    n_blocks: () int32    — number of real blocks
+    """
+
+    starts: jax.Array
+    ends: jax.Array
+    sizes: jax.Array
+    n_blocks: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.starts.shape[0]
+
+
+def make_blocks(weights: jax.Array, threshold: jax.Array, capacity: int) -> BlockStructure:
+    """Threshold the breakpoint weights into a padded block structure.
+
+    Block boundaries are bit-identical to the reference's iterator for the
+    same float32 threshold: a block ends at the next position with
+    weight >= threshold (BreakpointArray.hpp:224-231).
+    """
+    T = weights.shape[0]
+    mask = weights >= threshold  # mask[0] is always True (w[0] = inf)
+    n_blocks = jnp.sum(mask, dtype=jnp.int32)
+    (starts,) = jnp.nonzero(mask, size=capacity, fill_value=T)
+    starts = starts.astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), T, dtype=jnp.int32)])
+    return BlockStructure(starts, ends, ends - starts, n_blocks)
+
+
+def block_sufficient_stats(prefix: PrefixStats, blocks: BlockStructure) -> jax.Array:
+    """(Bcap, dim, 2) float32 — per-block (sum x, sum x^2) per dim.
+
+    Two gathers + cross-cell correction; padded blocks yield exact zeros
+    (start == end == T).
+    """
+    s, e = blocks.starts, blocks.ends
+    r_s = prefix.r[s]  # (B, dim, 2)
+    r_e = prefix.r[e]
+    cs = (s >> CELL_BITS).astype(jnp.int32)
+    ce = (e >> CELL_BITS).astype(jnp.int32)
+    q_hi = prefix.q2_hi[ce] - prefix.q2_hi[cs]
+    q_lo = prefix.q2_lo[ce] - prefix.q2_lo[cs]
+    return (r_s - r_e) + (q_hi + q_lo)

@@ -1,0 +1,158 @@
+"""Forward-Backward Gibbs state-sequence sampling as two associative scans.
+
+The reference's sampler (src/StateSequence/ForwardBackward.hpp:16-213) is a
+strictly sequential three-pass loop over blocks. The TPU formulation keeps
+the identical sampling distribution but exposes log-depth parallelism:
+
+1. FORWARD. The filtering recursion
+       alpha_b = normalize(alpha_{b-1} @ (A * e_b))
+   is a product of per-block K x K matrices M_b = A * e_b[None, :]. Since a
+   per-matrix positive rescaling cancels under the final normalization,
+   cumulative products are computed with ``jax.lax.associative_scan`` using
+   the combine (X, Y) -> (X @ Y) / max(X @ Y), giving alpha_b = pi @ P_b up
+   to scale — batched K x K matmuls on the MXU with log(B) depth.
+
+2. BACKWARD. Sequential backward sampling draws z_b ~ Cat(col_b * A[:, z_{b+1}]).
+   Instead, for every block and every possible successor state j we draw an
+   independent predecessor sample pred_b[j] via the Gumbel-max trick. Each
+   pred_b is a random map [K] -> [K]; the sampled path is the composition
+       z_b = (pred_b ∘ pred_{b+1} ∘ ... ∘ pred_{last-1})(z_last),
+   and map composition is associative, so a reverse associative scan over
+   the (B, K) map arrays yields every z_b in log depth. Because exactly one
+   entry of each independent map is consumed, the joint law equals the
+   sequential chain's.
+
+Reference quirks reproduced for parity:
+- the emission term includes (N-1) * log A_ss inside the forward recursion
+  (ForwardBackward.hpp:77) AND the trellis column is retroactively scaled by
+  exp((N-1) log A_ss) before backward sampling — for every block except the
+  last (ForwardBackward.hpp:115-119);
+- the last state is drawn from the *unscaled* final forward column
+  (Trellis.hpp:61-66 via ForwardBackward.hpp:135).
+
+Padding: blocks b >= n_blocks have size 0; their forward matrices are the
+identity and their maps are the identity permutation, so they pass through
+both scans without affecting the distribution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hammlet_tpu.models.distributions import emission_log_weights
+
+
+def _scaled_matmul(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Combine for the forward scan: batched (K,K) @ (K,K), rescaled by the
+    max entry to stay in float32 range. Scale-invariant downstream."""
+    z = jnp.einsum(
+        "...ij,...jk->...ik", x, y, preferred_element_type=jnp.float32
+    )
+    m = jnp.max(z, axis=(-2, -1), keepdims=True)
+    return z / jnp.maximum(m, jnp.float32(1e-35))
+
+
+def _compose_maps(outer: jax.Array, inner: jax.Array) -> jax.Array:
+    """Combine for the backward scan: (outer ∘ inner)[j] = outer[inner[j]],
+    batched over leading axes."""
+    return jnp.take_along_axis(outer, inner, axis=-1)
+
+
+def forward_columns(
+    log_e: jax.Array,
+    sizes: jax.Array,
+    n_blocks: jax.Array,
+    A: jax.Array,
+    pi: jax.Array,
+    use_self_transitions: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Run the forward filter.
+
+    log_e: (B, K) per-block log emission weights (no self-transition term)
+    Returns (cols, last_col):
+      cols: (B, K) trellis columns *including* the retroactive
+            self-transition scaling (ready for backward sampling),
+      last_col: (K,) unscaled final column alpha_{n_blocks-1}.
+    """
+    B, K = log_e.shape
+    sizes_f = sizes.astype(jnp.float32)
+    valid = (jnp.arange(B) < n_blocks)[:, None]  # (B, 1)
+
+    log_a_ss = jnp.log(jnp.diagonal(A))  # (K,)
+    E = log_e
+    if use_self_transitions:
+        E = E + (sizes_f[:, None] - 1.0) * log_a_ss[None, :]
+    # numerical shift per block (exp(E - maxE), ForwardBackward.hpp:82-84)
+    e = jnp.exp(E - jnp.max(E, axis=1, keepdims=True))
+    # per-block transition matrix; identity for padded blocks
+    M = A[None, :, :] * e[:, None, :]  # (B, K, K)
+    M = jnp.where(valid[:, :, None], M, jnp.eye(K, dtype=M.dtype)[None])
+    P = jax.lax.associative_scan(_scaled_matmul, M, axis=0)  # (B, K, K)
+    alpha = jnp.einsum("i,bij->bj", pi, P, preferred_element_type=jnp.float32)
+    alpha = alpha / jnp.maximum(
+        jnp.sum(alpha, axis=1, keepdims=True), jnp.float32(1e-35)
+    )
+
+    last_col = alpha[jnp.maximum(n_blocks - 1, 0)]
+    if use_self_transitions:
+        # retroactive scaling of every column except the last real block
+        is_last = (jnp.arange(B) == n_blocks - 1)[:, None]
+        scale = jnp.exp((sizes_f[:, None] - 1.0) * log_a_ss[None, :])
+        cols = jnp.where(is_last, alpha, alpha * scale)
+    else:
+        cols = alpha
+    return cols, last_col
+
+
+def backward_sample(
+    key: jax.Array,
+    cols: jax.Array,
+    last_col: jax.Array,
+    n_blocks: jax.Array,
+    A: jax.Array,
+) -> jax.Array:
+    """Draw the joint state path given trellis columns. Returns (B,) int32
+    states (padded blocks repeat the last real state; mask downstream)."""
+    B, K = cols.shape
+    k_last, k_maps = jax.random.split(key)
+
+    # last state ~ Cat(last_col)
+    z_last = jax.random.categorical(k_last, jnp.log(last_col)[None, :])[0]
+
+    # independent predecessor draws pred_b[j] ~ Cat_i( cols_b[i] * A[i, j] )
+    logits = (
+        jnp.log(jnp.maximum(cols, jnp.float32(1e-38)))[:, :, None]
+        + jnp.log(jnp.maximum(A, jnp.float32(1e-38)))[None, :, :]
+    )  # (B, i=K, j=K)
+    gumbel = jax.random.gumbel(k_maps, (B, K, K), dtype=jnp.float32)
+    pred = jnp.argmax(logits + gumbel, axis=1).astype(jnp.int32)  # (B, j) -> i
+
+    # maps: m_b = pred_b for b < n_blocks - 1, identity otherwise
+    ident = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
+    use_pred = (jnp.arange(B) < n_blocks - 1)[:, None]
+    maps = jnp.where(use_pred, pred, ident)
+
+    # suffix composition: r_b = m_b ∘ m_{b+1} ∘ ... ∘ m_{B-1}
+    r = jax.lax.associative_scan(_compose_maps, maps, axis=0, reverse=True)
+    return jnp.take(r, z_last, axis=1).astype(jnp.int32)
+
+
+def fb_sample_states(
+    key: jax.Array,
+    block_stats: jax.Array,
+    sizes: jax.Array,
+    n_blocks: jax.Array,
+    theta_mean: jax.Array,
+    theta_var: jax.Array,
+    A: jax.Array,
+    pi: jax.Array,
+    mapping: jax.Array,
+    use_self_transitions: bool = True,
+) -> jax.Array:
+    """Sample a per-block state path with the FB-Gibbs kernel. (B,) int32."""
+    log_e = emission_log_weights(block_stats, sizes, theta_mean, theta_var, mapping)
+    cols, last_col = forward_columns(
+        log_e, sizes, n_blocks, A, pi, use_self_transitions
+    )
+    return backward_sample(key, cols, last_col, n_blocks, A)

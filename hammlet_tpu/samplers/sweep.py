@@ -1,0 +1,224 @@
+"""The fused Gibbs sweep: one jitted program per iteration.
+
+Replaces the reference's sampleHMM loop body (src/HMM.hpp:99-121) and the
+three passes of the state-sequence samplers with a single XLA program:
+
+    threshold -> blocks -> block stats -> state draw (FB | mixture)
+    -> segment-reduced sweep statistics -> conjugate model resample
+    -> (optional) on-device marginal recording
+
+Dynamic block counts are handled with a static block capacity and masking, so
+the program compiles once; the driver grows the capacity (recompiling) only
+if a sweep overflows it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hammlet_tpu.models.hmm import (
+    HMMPriors,
+    HMMState,
+    SweepStats,
+    resample_model,
+)
+from hammlet_tpu.ops.blocks import (
+    PrefixStats,
+    block_sufficient_stats,
+    make_blocks,
+)
+from hammlet_tpu.samplers.forward_backward import fb_sample_states
+from hammlet_tpu.samplers.mixture import mixture_sample_states
+
+
+class RecordBuffers(NamedTuple):
+    """On-device posterior recording state.
+
+    counts:        (T, K) int32 — per-position state counts over recorded
+                   sweeps (the marginal distribution, pre-RLE)
+    ever_boundary: (T,) bool — positions that started a segment in any
+                   recorded sweep; the union partition reproduces the
+                   reference's marginal segment refinement
+                   (StateMarginals.hpp:51-137)
+    n_records:     () int32 — number of recorded sweeps
+    """
+
+    counts: jax.Array
+    ever_boundary: jax.Array
+    n_records: jax.Array
+
+    @staticmethod
+    def create(T: int, K: int) -> "RecordBuffers":
+        return RecordBuffers(
+            counts=jnp.zeros((T, K), dtype=jnp.int32),
+            ever_boundary=jnp.zeros((T,), dtype=bool),
+            n_records=jnp.zeros((), dtype=jnp.int32),
+        )
+
+
+class SweepOutputs(NamedTuple):
+    """Per-sweep results needed by the host-side output layer."""
+
+    states: jax.Array  # (Bcap,) int32 per-block states
+    sizes: jax.Array  # (Bcap,) int32 block sizes (0 = padding)
+    n_blocks: jax.Array  # () int32
+    threshold: jax.Array  # () float32 compression threshold used
+
+
+def accumulate_sweep_stats(
+    states: jax.Array,
+    sizes: jax.Array,
+    n_blocks: jax.Array,
+    block_stats: jax.Array,
+    mapping: jax.Array,
+    nr_params: int,
+) -> SweepStats:
+    """Segment-reduce the sampled path into conjugate-update statistics
+    (reference pass 3, ForwardBackward.hpp:170-212)."""
+    B = states.shape[0]
+    K = mapping.shape[0]
+    valid = jnp.arange(B) < n_blocks
+    sizes_f = sizes.astype(jnp.float32) * valid
+
+    state_counts = jax.ops.segment_sum(sizes_f, states, num_segments=K)
+
+    # transitions: diagonal self-transitions (N-1 per block) plus one
+    # prev->cur count per block, prev of the first block being state 0
+    diag = jax.ops.segment_sum(
+        (sizes.astype(jnp.float32) - 1.0) * valid, states, num_segments=K
+    )
+    prev = jnp.concatenate([jnp.zeros((1,), dtype=states.dtype), states[:-1]])
+    pair_ids = prev * K + states
+    pairs = jax.ops.segment_sum(
+        valid.astype(jnp.float32), pair_ids, num_segments=K * K
+    ).reshape(K, K)
+    trans_counts = pairs + jnp.diag(diag)
+
+    # theta statistics: route each (block, dim) stat to its emission param
+    dim = mapping.shape[1]
+    param_ids = mapping[states].reshape(-1)  # (B*dim,)
+    flat_stats = jnp.where(
+        valid[:, None, None], block_stats, 0.0
+    ).reshape(-1, 2)  # (B*dim, 2)
+    theta_sums = jax.ops.segment_sum(
+        flat_stats[:, 0], param_ids, num_segments=nr_params
+    )
+    theta_sumsqs = jax.ops.segment_sum(
+        flat_stats[:, 1], param_ids, num_segments=nr_params
+    )
+    counts_per_bd = jnp.broadcast_to(sizes_f[:, None], (B, dim)).reshape(-1)
+    theta_counts = jax.ops.segment_sum(
+        counts_per_bd, param_ids, num_segments=nr_params
+    )
+    return SweepStats(theta_sums, theta_sumsqs, theta_counts, trans_counts, state_counts)
+
+
+def position_states(
+    states: jax.Array, starts: jax.Array, n_blocks: jax.Array, T: int
+) -> jax.Array:
+    """Expand per-block states to per-position states. (T,) int32."""
+    B = states.shape[0]
+    valid = jnp.arange(B) < n_blocks
+    marks = jnp.zeros((T,), dtype=jnp.int32).at[starts].add(
+        valid.astype(jnp.int32), mode="drop"
+    )
+    block_id = jnp.cumsum(marks) - 1
+    return states[block_id]
+
+
+def record_sweep(
+    buffers: RecordBuffers,
+    states: jax.Array,
+    starts: jax.Array,
+    n_blocks: jax.Array,
+) -> RecordBuffers:
+    """Fold one recorded sweep into the marginal buffers."""
+    T = buffers.counts.shape[0]
+    pos_state = position_states(states, starts, n_blocks, T)
+    counts = buffers.counts.at[jnp.arange(T), pos_state].add(1)
+    changed = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), pos_state[1:] != pos_state[:-1]]
+    )
+    return RecordBuffers(
+        counts=counts,
+        ever_boundary=buffers.ever_boundary | changed,
+        n_records=buffers.n_records + 1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple", "use_self_transitions"),
+    donate_argnames=("buffers",),
+)
+def gibbs_sweep(
+    key: jax.Array,
+    model: HMMState,
+    priors: HMMPriors,
+    weights: jax.Array,
+    prefix: PrefixStats,
+    buffers: RecordBuffers,
+    do_record: jax.Array,  # () bool
+    use_dynamic: jax.Array,  # () bool
+    static_threshold: jax.Array,  # () float32
+    *,
+    method: str,  # "F" (forward-backward) or "M" (mixture)
+    capacity: int,
+    spec_nr_params: int,
+    mapping_tuple: tuple,
+    use_self_transitions: bool,
+) -> tuple[HMMState, RecordBuffers, SweepOutputs]:
+    """One full Gibbs iteration (HMM.hpp:99-121)."""
+    T = weights.shape[0]
+    mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
+
+    thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
+    blocks = make_blocks(weights, thr, capacity)
+    bstats = block_sufficient_stats(prefix, blocks)
+
+    k_states, k_model = jax.random.split(key)
+    if method == "F":
+        states = fb_sample_states(
+            k_states,
+            bstats,
+            blocks.sizes,
+            blocks.n_blocks,
+            model.theta_mean,
+            model.theta_var,
+            model.A,
+            model.pi,
+            mapping,
+            use_self_transitions,
+        )
+    elif method == "M":
+        states = mixture_sample_states(
+            k_states,
+            bstats,
+            blocks.sizes,
+            blocks.n_blocks,
+            model.theta_mean,
+            model.theta_var,
+            mapping,
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown sampling method {method!r}")
+
+    stats = accumulate_sweep_stats(
+        states, blocks.sizes, blocks.n_blocks, bstats, mapping, spec_nr_params
+    )
+    new_model = resample_model(k_model, priors, stats)
+
+    new_buffers = jax.lax.cond(
+        do_record,
+        lambda b: record_sweep(b, states, blocks.starts, blocks.n_blocks),
+        lambda b: b,
+        buffers,
+    )
+
+    outputs = SweepOutputs(states, blocks.sizes, blocks.n_blocks, thr)
+    return new_model, new_buffers, outputs

@@ -1,0 +1,20 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware by forcing the host
+platform and splitting it into 8 virtual devices (SURVEY.md §4c). The
+environment may pre-register a TPU PJRT plugin and set JAX_PLATFORMS, so the
+override goes through jax.config before any backend is initialized.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
