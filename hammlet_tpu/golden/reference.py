@@ -191,6 +191,44 @@ def _emission_logweight(sums, sumsqs, N, theta_mean, theta_var, mapping, state):
     return E
 
 
+def fb_forward_columns(
+    sums, sumsqs, N, theta_mean, theta_var, A, pi, mapping,
+    use_self_transitions=True,
+):
+    """Deterministic part of the FB sweep: the trellis columns after the
+    retroactive self-transition scaling, plus the unscaled final column."""
+    B = len(N)
+    K = len(pi)
+    logA = np.log(np.diag(A))
+    trellis = np.zeros((B + 1, K))
+    trellis[0] = pi
+    prevN = 1.0
+    for b in range(B):
+        E = np.array(
+            [
+                _emission_logweight(
+                    sums[b], sumsqs[b], N[b], theta_mean, theta_var, mapping, s
+                )
+                + (use_self_transitions * (N[b] - 1.0) * logA[s])
+                for s in range(K)
+            ]
+        )
+        w = np.exp(E - E.max())
+        fwd = w * (trellis[b] @ A)
+        tot = fwd.sum()
+        fwd = fwd / tot if tot != 0 else np.full(K, 1.0 / K)
+        if use_self_transitions:
+            trellis[b] = trellis[b] * np.exp((prevN - 1.0) * logA)
+        trellis[b + 1] = fwd
+        prevN = float(N[b])
+    last_col = trellis[B].copy()
+    cols = trellis[1:].copy()
+    if use_self_transitions:
+        # the final column is stored unscaled; scale all previous ones
+        cols[B - 1] = last_col
+    return cols, last_col
+
+
 def fb_gibbs_sweep(
     sums, sumsqs, N, theta_mean, theta_var, A, pi, mapping, rng,
     use_self_transitions=True,

@@ -53,10 +53,12 @@ def _scaled_matmul(x: jax.Array, y: jax.Array) -> jax.Array:
     return z / jnp.maximum(m, jnp.float32(1e-35))
 
 
-def _compose_maps(outer: jax.Array, inner: jax.Array) -> jax.Array:
-    """Combine for the backward scan: (outer ∘ inner)[j] = outer[inner[j]],
-    batched over leading axes."""
-    return jnp.take_along_axis(outer, inner, axis=-1)
+def _compose_maps_rev(later: jax.Array, earlier: jax.Array) -> jax.Array:
+    """Combine for the reverse backward scan. ``lax.associative_scan`` with
+    ``reverse=True`` passes the element with the *higher* index first; the
+    suffix composition r_b = m_b ∘ m_{b+1} ∘ ... therefore needs
+    (later, earlier) -> earlier[later[j]] (apply the later map first)."""
+    return jnp.take_along_axis(earlier, later, axis=-1)
 
 
 def forward_columns(
@@ -134,7 +136,7 @@ def backward_sample(
     maps = jnp.where(use_pred, pred, ident)
 
     # suffix composition: r_b = m_b ∘ m_{b+1} ∘ ... ∘ m_{B-1}
-    r = jax.lax.associative_scan(_compose_maps, maps, axis=0, reverse=True)
+    r = jax.lax.associative_scan(_compose_maps_rev, maps, axis=0, reverse=True)
     return jnp.take(r, z_last, axis=1).astype(jnp.int32)
 
 

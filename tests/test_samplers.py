@@ -1,0 +1,180 @@
+"""Sampler correctness: deterministic parts exactly, stochastic parts
+statistically against the golden sequential implementation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hammlet_tpu.golden import reference as gold
+from hammlet_tpu.models.distributions import nig_sample, nig_update
+from hammlet_tpu.models.mapping import combinations_mapping
+from hammlet_tpu.samplers.forward_backward import (
+    backward_sample,
+    fb_sample_states,
+    forward_columns,
+)
+from hammlet_tpu.samplers.mixture import mixture_sample_states
+from hammlet_tpu.samplers.sweep import accumulate_sweep_stats
+from hammlet_tpu.models.distributions import emission_log_weights
+
+
+def _toy_problem(B=12, K=3, dim=1, seed=0, pad=5):
+    """Random block stats + model for a small HMM; returns padded arrays."""
+    rng = np.random.default_rng(seed)
+    N = rng.integers(1, 20, size=B)
+    means_true = rng.choice([0.0, 3.0, -2.0], size=B)
+    sums = np.zeros((B, dim))
+    sumsqs = np.zeros((B, dim))
+    for b in range(B):
+        x = rng.normal(means_true[b], 1.0, size=(N[b], dim))
+        sums[b] = x.sum(axis=0)
+        sumsqs[b] = (x * x).sum(axis=0)
+    theta_mean = np.array([-2.0, 0.0, 3.0], dtype=np.float32)[:K]
+    theta_var = np.array([1.1, 0.9, 1.3], dtype=np.float32)[:K]
+    A = rng.dirichlet(np.ones(K) * 2, size=K).astype(np.float32)
+    pi = rng.dirichlet(np.ones(K)).astype(np.float32)
+    mapping = combinations_mapping(dim, K)[:, :dim]
+    # pad to capacity
+    Bcap = B + pad
+    stats = np.zeros((Bcap, dim, 2), dtype=np.float32)
+    stats[:B, :, 0] = sums
+    stats[:B, :, 1] = sumsqs
+    sizes = np.zeros(Bcap, dtype=np.int32)
+    sizes[:B] = N
+    return dict(
+        B=B, Bcap=Bcap, K=K, dim=dim, N=N, sums=sums, sumsqs=sumsqs,
+        stats=stats, sizes=sizes, theta_mean=theta_mean, theta_var=theta_var,
+        A=A, pi=pi, mapping=mapping,
+    )
+
+
+def test_nig_update_matches_golden():
+    rng = np.random.default_rng(3)
+    prior = np.abs(rng.normal(2, 1, size=(4, 4))).astype(np.float32) + 0.5
+    sums = rng.normal(0, 50, size=4).astype(np.float32)
+    counts = np.array([0, 5, 100, 10000], dtype=np.float32)
+    sumsqs = (sums**2 / np.maximum(counts, 1) + counts * 1.7).astype(np.float32)
+    got = np.asarray(nig_update(jnp.asarray(prior), jnp.asarray(sums), jnp.asarray(sumsqs), jnp.asarray(counts)))
+    for p in range(4):
+        want = gold.nig_posterior(prior[p], sums[p], sumsqs[p], counts[p])
+        np.testing.assert_allclose(got[p], want, rtol=2e-6)
+
+
+def test_nig_sample_moments():
+    key = jax.random.PRNGKey(0)
+    n = 200_000
+    params = jnp.tile(jnp.array([[5.0, 8.0, 1.5, 4.0]]), (n, 1))
+    mean, var = nig_sample(key, params)
+    # E[var] = beta/(alpha-1) = 2 ; Var(mean|var) = var/nu
+    assert abs(float(jnp.mean(var)) - 2.0) < 0.05
+    assert abs(float(jnp.mean(mean)) - 1.5) < 0.01
+    assert abs(float(jnp.var(mean)) - 2.0 / 4.0) < 0.05
+
+
+@pytest.mark.parametrize("use_self", [True, False])
+def test_forward_columns_match_golden(use_self):
+    p = _toy_problem(seed=11)
+    log_e = emission_log_weights(
+        jnp.asarray(p["stats"]), jnp.asarray(p["sizes"]),
+        jnp.asarray(p["theta_mean"]), jnp.asarray(p["theta_var"]),
+        jnp.asarray(p["mapping"]),
+    )
+    cols, last = forward_columns(
+        log_e, jnp.asarray(p["sizes"]), jnp.int32(p["B"]),
+        jnp.asarray(p["A"]), jnp.asarray(p["pi"]), use_self,
+    )
+    want_cols, want_last = gold.fb_forward_columns(
+        p["sums"], p["sumsqs"], p["N"], p["theta_mean"], p["theta_var"],
+        p["A"], p["pi"], p["mapping"], use_self,
+    )
+    got_cols = np.asarray(cols)[: p["B"]]
+    # golden columns are normalized pre-scaling; ours are too -> same scale
+    np.testing.assert_allclose(got_cols, want_cols, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(last), want_last, rtol=2e-4, atol=1e-6)
+
+
+def test_fb_sampler_distribution_matches_golden():
+    """Marginal per-block state frequencies of the parallel sampler match the
+    sequential golden sampler within Monte-Carlo error."""
+    p = _toy_problem(B=10, K=3, seed=5)
+    n_draws = 4000
+    keys = jax.random.split(jax.random.PRNGKey(42), n_draws)
+    sample = jax.jit(
+        lambda k: fb_sample_states(
+            k, jnp.asarray(p["stats"]), jnp.asarray(p["sizes"]),
+            jnp.int32(p["B"]), jnp.asarray(p["theta_mean"]),
+            jnp.asarray(p["theta_var"]), jnp.asarray(p["A"]),
+            jnp.asarray(p["pi"]), jnp.asarray(p["mapping"]), True,
+        )
+    )
+    ours = np.asarray(jax.vmap(sample)(keys))[:, : p["B"]]
+
+    rng = np.random.default_rng(7)
+    theirs = np.stack(
+        [
+            gold.fb_gibbs_sweep(
+                p["sums"], p["sumsqs"], p["N"], p["theta_mean"],
+                p["theta_var"], p["A"], p["pi"], p["mapping"], rng, True,
+            )
+            for _ in range(n_draws)
+        ]
+    )
+    for b in range(p["B"]):
+        f_ours = np.bincount(ours[:, b], minlength=3) / n_draws
+        f_theirs = np.bincount(theirs[:, b], minlength=3) / n_draws
+        se = np.sqrt(np.maximum(f_theirs * (1 - f_theirs), 1e-4) / n_draws)
+        assert np.all(np.abs(f_ours - f_theirs) < 6 * se + 0.01), (
+            b, f_ours, f_theirs)
+
+
+def test_mixture_sampler_frequencies():
+    p = _toy_problem(B=6, K=3, seed=9)
+    log_e = np.asarray(
+        emission_log_weights(
+            jnp.asarray(p["stats"]), jnp.asarray(p["sizes"]),
+            jnp.asarray(p["theta_mean"]), jnp.asarray(p["theta_var"]),
+            jnp.asarray(p["mapping"]),
+        )
+    )[: p["B"]]
+    probs = np.exp(log_e - log_e.max(axis=1, keepdims=True))
+    probs /= probs.sum(axis=1, keepdims=True)
+    n_draws = 4000
+    keys = jax.random.split(jax.random.PRNGKey(1), n_draws)
+    sample = jax.jit(
+        lambda k: mixture_sample_states(
+            k, jnp.asarray(p["stats"]), jnp.asarray(p["sizes"]),
+            jnp.int32(p["B"]), jnp.asarray(p["theta_mean"]),
+            jnp.asarray(p["theta_var"]), jnp.asarray(p["mapping"]),
+        )
+    )
+    draws = np.asarray(jax.vmap(sample)(keys))[:, : p["B"]]
+    for b in range(p["B"]):
+        f = np.bincount(draws[:, b], minlength=3) / n_draws
+        se = np.sqrt(np.maximum(probs[b] * (1 - probs[b]), 1e-4) / n_draws)
+        assert np.all(np.abs(f - probs[b]) < 6 * se + 0.01), (b, f, probs[b])
+
+
+def test_accumulate_sweep_stats_matches_golden():
+    p = _toy_problem(B=9, K=3, seed=13)
+    rng = np.random.default_rng(0)
+    states_real = rng.integers(0, 3, size=p["B"])
+    states = np.zeros(p["Bcap"], dtype=np.int32)
+    states[: p["B"]] = states_real
+    states[p["B"]:] = 2  # garbage in padding must be ignored
+    stats = accumulate_sweep_stats(
+        jnp.asarray(states), jnp.asarray(p["sizes"]), jnp.int32(p["B"]),
+        jnp.asarray(p["stats"]), jnp.asarray(p["mapping"]), 3,
+    )
+    want_counts, want_trans = gold.accumulate_counts(states_real, p["N"], 3)
+    np.testing.assert_allclose(np.asarray(stats.state_counts), want_counts)
+    np.testing.assert_allclose(np.asarray(stats.trans_counts), want_trans)
+    # theta stats: dim=1 so param p gets sums of blocks with state s=p
+    for s in range(3):
+        mask = states_real == s
+        np.testing.assert_allclose(
+            float(stats.theta_sums[s]), p["sums"][mask].sum(), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(stats.theta_counts[s]), p["N"][mask].sum(), rtol=1e-6
+        )
