@@ -1,0 +1,295 @@
+"""End-to-end engine: ingest -> auto-priors -> sampling-scheme execution.
+
+Replaces the reference's main() pipeline (src/main.cpp:23-477): the streaming
+ingest + transform, the noise estimate, auto-priors, and the ``-i``
+sampling-scheme interpreter (tokens ``P``, ``S``, ``D``, ``{F,M} iter thin``,
+main.cpp:391-454) driving the fused on-device Gibbs sweep.
+
+Dynamic block counts are handled with a static capacity: every sweep reports
+its true block count; if it overflows the capacity the sweep is *replayed*
+with the same RNG key at a larger capacity (the sweep is a pure function of
+(key, model)), so results are never silently truncated.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hammlet_tpu.io.records import Records
+from hammlet_tpu.models.autopriors import autoprior, noise_std_estimate
+from hammlet_tpu.models.hmm import (
+    HMMPriors,
+    HMMState,
+    ModelSpec,
+    sample_from_priors,
+)
+from hammlet_tpu.ops.blocks import build_prefix_stats
+from hammlet_tpu.ops.wavelet import breakpoint_weights, maxlet_transform
+from hammlet_tpu.samplers.sweep import RecordBuffers, gibbs_sweep
+
+
+def parse_scheme(tokens: list[str]) -> list[tuple]:
+    """Parse the ``-i`` scheme into ops:
+    ("prior",), ("static",), ("dynamic",), ("run", method, iters, thinning).
+    Grammar per main.cpp:367-454."""
+    n_num = sum(1 for t in tokens if t not in ("P", "S", "D", "F", "M"))
+    n_meth = sum(1 for t in tokens if t in ("F", "M"))
+    if n_num != 2 * n_meth:
+        raise ValueError(
+            'Parameters for -i, excluding "P", "S" and "D", must be multiples of 3!'
+        )
+    ops: list[tuple] = [("prior",)]  # samplePrior starts true (main.cpp:384)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t == "P":
+            ops.append(("prior",))
+            i += 1
+        elif t == "S":
+            ops.append(("static",))
+            i += 1
+        elif t == "D":
+            ops.append(("dynamic",))
+            i += 1
+        elif t in ("F", "M"):
+            if i + 2 >= len(tokens):
+                raise ValueError("Incomplete command line for -i!")
+            ops.append(("run", t, int(tokens[i + 1]), int(tokens[i + 2])))
+            i += 3
+        else:
+            raise ValueError(f"Unknown sampling type {t}!")
+    return ops
+
+
+def _round_capacity(n: int) -> int:
+    """Round a block count up to the next capacity bucket (1.5x growth from
+    powers of two) to bound recompilations."""
+    cap = 64
+    while cap < n:
+        cap = cap * 3 // 2 if cap % 2 == 0 else cap * 2
+    return cap
+
+
+@dataclass
+class Ingest:
+    """Device-resident preprocessed data."""
+
+    weights: jax.Array  # (T,) float32 breakpoint weights (post multiplier)
+    prefix: object  # PrefixStats
+    coeffs_host: np.ndarray  # (T,) maxlet coefficients (for noise estimate)
+    noise_std: float
+    T: int
+    dim: int
+
+
+def ingest(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
+    """maxlet transform -> noise estimate -> breakpoint weights -> prefix
+    sums (main.cpp:277-344)."""
+    data = np.asarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        data = data[:, None]
+    T, dim = data.shape
+    coeffs = maxlet_transform(jnp.asarray(data))
+    coeffs_host = np.asarray(coeffs)
+    noise = noise_std_estimate(coeffs_host)
+    weights = breakpoint_weights(coeffs)
+    if weight_multiplier != 1.0:
+        weights = weights * jnp.float32(weight_multiplier)
+    prefix = build_prefix_stats(data)
+    return Ingest(
+        weights=weights,
+        prefix=prefix,
+        coeffs_host=coeffs_host,
+        noise_std=noise,
+        T=T,
+        dim=dim,
+    )
+
+
+@dataclass
+class Engine:
+    """Single-device sampling engine (the multi-device engine lives in
+    hammlet_tpu.parallel)."""
+
+    ing: Ingest
+    spec: ModelSpec
+    priors: HMMPriors
+    seed: int
+    records: Records | None = None
+    capacity: int | None = None
+
+    model: HMMState = field(init=False)
+    buffers: RecordBuffers = field(init=False)
+    sweep_counter: int = field(init=False, default=0)
+    total_sweeps: float = field(init=False, default=0.0)
+    sample_time: float = field(init=False, default=0.0)
+
+    def __post_init__(self):
+        self._key = jax.random.PRNGKey(self.seed)
+        self._mapping_tuple = tuple(
+            tuple(int(v) for v in row) for row in self.spec.mapping()
+        )
+        K = self.spec.nr_states
+        self.buffers = RecordBuffers.create(self.ing.T, K)
+        self.model = sample_from_priors(self._next_key(), self.priors)
+        self._dynamic = True
+        self._static_threshold = jnp.float32(0.0)
+        if self.capacity is None:
+            # size for the prior-threshold block structure with headroom
+            thr = float(
+                np.sqrt(
+                    2.0
+                    * np.log(max(2.0, float(self.ing.T)))
+                    * float(jnp.min(self.model.theta_var))
+                )
+            )
+            nb = int(np.asarray(jnp.sum(self.ing.weights >= thr)))
+            self.capacity = min(self.ing.T, _round_capacity(2 * nb + 64))
+
+    def _next_key(self) -> jax.Array:
+        self.sweep_counter += 1
+        return jax.random.fold_in(self._key, self.sweep_counter)
+
+    # -- scheme ops -------------------------------------------------------
+
+    def sample_prior(self) -> None:
+        self.model = sample_from_priors(self._next_key(), self.priors)
+
+    def set_static(self) -> None:
+        self._dynamic = False
+        self._static_threshold = jnp.float32(
+            float(self.model.threshold(self.ing.T))
+        )
+
+    def set_dynamic(self) -> None:
+        self._dynamic = True
+
+    def run(self, method: str, iterations: int, thinning: int) -> None:
+        """One F/M phase of `iterations` sweeps with record thinning."""
+        t0 = time.time()
+        for i in range(iterations):
+            do_record = thinning > 0 and (i + 1) % thinning == 0
+            self._one_sweep(method, do_record)
+        jax.block_until_ready(self.model.theta_mean)
+        self.sample_time += time.time() - t0
+        self.total_sweeps += iterations
+
+    def _one_sweep(self, method: str, do_record: bool) -> None:
+        key = self._next_key()
+        while True:
+            new_model, new_buffers, outputs = gibbs_sweep(
+                key,
+                self.model,
+                self.priors,
+                self.ing.weights,
+                self.ing.prefix,
+                self.buffers,
+                jnp.asarray(do_record),
+                jnp.asarray(self._dynamic),
+                self._static_threshold,
+                method=method,
+                capacity=self.capacity,
+                spec_nr_params=self.spec.nr_params,
+                mapping_tuple=self._mapping_tuple,
+                use_self_transitions=self.spec.use_self_transitions,
+            )
+            # recording is skipped in-graph on overflow, so new_buffers is
+            # value-preserving and the sweep can be replayed with the same
+            # key at a larger capacity
+            self.buffers = new_buffers
+            n_blocks = int(outputs.n_blocks)
+            if n_blocks <= self.capacity:
+                break
+            self.capacity = min(self.ing.T, _round_capacity(2 * n_blocks))
+        self.model = new_model
+        if self.records is not None:
+            if do_record and self.records.wants_block_level():
+                n_bound = None
+                if "segments" in self.records.enabled:
+                    n_bound = int(jnp.sum(new_buffers.ever_boundary))
+                self.records.record_sweep(
+                    np.asarray(outputs.states),
+                    np.asarray(outputs.sizes),
+                    n_blocks,
+                    n_bound,
+                )
+            if do_record:
+                self.records.record_theta(
+                    np.asarray(new_model.theta_mean),
+                    np.asarray(new_model.theta_var),
+                )
+
+    def run_scheme(self, tokens: list[str]) -> None:
+        for op in parse_scheme(tokens):
+            if op[0] == "prior":
+                self.sample_prior()
+            elif op[0] == "static":
+                self.set_static()
+            elif op[0] == "dynamic":
+                self.set_dynamic()
+            else:
+                _, method, iters, thin = op
+                self.run(method, iters, thin)
+
+    def finalize(self) -> None:
+        if self.records is not None:
+            self.records.save_marginals(
+                np.asarray(self.buffers.counts),
+                np.asarray(self.buffers.ever_boundary),
+            )
+            self.records.close()
+
+    # -- metrics ----------------------------------------------------------
+
+    @property
+    def sweeps_per_second(self) -> float:
+        return self.total_sweeps / max(self.sample_time, 1e-9)
+
+
+def make_engine(
+    data: np.ndarray,
+    nr_params: int = 3,
+    nr_data_dim: int = 1,
+    seed: int = 0,
+    s2: float = 0.2,
+    p: float = 0.9,
+    trans: float = 0.5,
+    self_trans: float = 0.5,
+    initial_alpha: float = 0.5,
+    weight_multiplier: float = 1.0,
+    use_self_transitions: bool = True,
+    records: Records | None = None,
+    capacity: int | None = None,
+) -> Engine:
+    """Build a ready-to-run engine with auto-priors (the only prior mode the
+    reference implements, main.cpp:204-215)."""
+    ing = ingest(data, weight_multiplier)
+    spec = ModelSpec(nr_params, nr_data_dim, use_self_transitions)
+    ap_capacity = int(
+        np.asarray(
+            jnp.sum(
+                ing.weights
+                >= jnp.float32(np.sqrt(2 * np.log(float(ing.T))) * ing.noise_std)
+            )
+        )
+    )
+    nig_row = autoprior(
+        s2, p, ing.weights, ing.prefix, ing.noise_std, max(8, ap_capacity + 8)
+    )
+    nig = np.tile(nig_row, (nr_params, 1))
+    priors = HMMPriors.create(
+        nig, spec.nr_states, trans, self_trans, initial_alpha
+    )
+    return Engine(
+        ing=ing,
+        spec=spec,
+        priors=priors,
+        seed=seed,
+        records=records,
+        capacity=capacity,
+    )

@@ -213,8 +213,12 @@ def gibbs_sweep(
     )
     new_model = resample_model(k_model, priors, stats)
 
+    # never record a truncated sweep: if the block count overflowed the
+    # static capacity the driver replays the sweep (same key) at a larger
+    # capacity and this result is discarded
+    ok = blocks.n_blocks <= capacity
     new_buffers = jax.lax.cond(
-        do_record,
+        jnp.logical_and(do_record, ok),
         lambda b: record_sweep(b, states, blocks.starts, blocks.n_blocks),
         lambda b: b,
         buffers,

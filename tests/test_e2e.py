@@ -1,0 +1,181 @@
+"""End-to-end: engine + CLI against synthetic 3-state data, plus format
+parity with the compiled reference binary (used strictly as a test oracle)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from hammlet_tpu.cli import main as cli_main
+from hammlet_tpu.runner import make_engine, parse_scheme
+from hammlet_tpu.io.records import Records
+
+REF_BIN = "/tmp/hammlet_ref/hammlet"
+
+
+def synth_data(T=2000, seed=0):
+    """Piecewise-constant 3-state Gaussian data with well-separated means."""
+    rng = np.random.default_rng(seed)
+    means = [0.0, 5.0, -5.0]
+    segs, states = [], []
+    t = 0
+    s = 0
+    while t < T:
+        n = min(int(rng.integers(100, 400)), T - t)
+        s = int(rng.integers(0, 3))
+        segs.append(rng.normal(means[s], 1.0, size=n))
+        states.extend([s] * n)
+        t += n
+    return np.concatenate(segs).astype(np.float32), np.array(states), means
+
+
+@pytest.fixture(scope="session")
+def ref_binary():
+    """Compile the reference binary once as an end-to-end oracle."""
+    if not os.path.exists(REF_BIN):
+        os.makedirs(os.path.dirname(REF_BIN), exist_ok=True)
+        r = subprocess.run(
+            [
+                "g++", "-O2", "--std=c++11", "-include", "limits",
+                "-o", REF_BIN, "/root/reference/src/main.cpp",
+            ],
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"cannot compile reference binary: {r.stderr[-500:]}")
+    return REF_BIN
+
+
+def test_parse_scheme_default():
+    ops = parse_scheme("M 500 0 S P F 200 0 F 300 3".split())
+    assert ops == [
+        ("prior",),
+        ("run", "M", 500, 0),
+        ("static",),
+        ("prior",),
+        ("run", "F", 200, 0),
+        ("run", "F", 300, 3),
+    ]
+    with pytest.raises(ValueError):
+        parse_scheme("F 10".split())
+
+
+def test_engine_recovers_segmentation(tmp_path):
+    data, true_states, means = synth_data(T=3000, seed=1)
+    rec = Records(
+        len(data), str(tmp_path / "out-"), ".csv", 3,
+        outputs={"marginals", "sequences", "blocks", "compression",
+                 "parameters", "segments"},
+        overwrite=True,
+    )
+    eng = make_engine(data, nr_params=3, seed=7, records=rec)
+    eng.run_scheme("M 50 0 F 50 0 F 60 3".split())
+    eng.finalize()
+
+    # marginal counts: every row sums to the number of recorded sweeps (20)
+    rows = [
+        list(map(int, line.split("\t")))
+        for line in (tmp_path / "out-marginals.csv").read_text().splitlines()
+    ]
+    T = len(data)
+    assert sum(r[0] for r in rows) == T
+    for r in rows:
+        assert sum(r[1:]) == 20
+    # max-marginal segmentation should match the planted one nearly everywhere
+    pos_state = np.zeros(T, dtype=int)
+    t = 0
+    for r in rows:
+        pos_state[t : t + r[0]] = int(np.argmax(r[1:]))
+        t += r[0]
+    # map sampled labels to true labels by majority vote
+    agree = 0
+    for s in range(3):
+        mask = pos_state == s
+        if mask.sum():
+            true_label = np.bincount(true_states[mask], minlength=3).argmax()
+            agree += (true_states[mask] == true_label).sum()
+    assert agree / T > 0.98
+
+    # sequences file: 20 lines, each RLE summing to T
+    seq_lines = (tmp_path / "out-sequences.csv").read_text().splitlines()
+    assert len(seq_lines) == 20
+    for line in seq_lines:
+        toks = [tok.split(":") for tok in line.split("\t")]
+        assert sum(int(n) for n, _ in toks) == T
+
+    # blocks: sizes sum to T; compression: one float per recorded sweep
+    blk_lines = (tmp_path / "out-blocks.csv").read_text().splitlines()
+    assert len(blk_lines) == 20
+    for line in blk_lines:
+        assert sum(map(int, line.split("\t"))) == T
+    comp = [float(x) for x in (tmp_path / "out-compression.csv").read_text().split()]
+    assert len(comp) == 20 and all(c >= 1 for c in comp)
+
+    # parameters: 20 lines x 3 params x (mean, var)
+    par_lines = (tmp_path / "out-parameters.csv").read_text().splitlines()
+    assert len(par_lines) == 20
+    fitted = sorted(float(par_lines[-1].split("\t")[i]) for i in (0, 2, 4))
+    assert np.allclose(fitted, sorted(means), atol=0.5)
+
+
+def test_cli_smoke(tmp_path):
+    data, _, _ = synth_data(T=1200, seed=3)
+    fn = tmp_path / "data.csv"
+    np.savetxt(fn, data)
+    rc = cli_main(
+        ["-f", str(fn), "-s", "3", "-a", "-R", "0", "-i", "M", "20", "0",
+         "F", "30", "3", "-O", "marginals", "parameters", "-w"]
+    )
+    assert rc == 0
+    assert (tmp_path / "data-marginals.csv").exists()
+    assert (tmp_path / "data-parameters.csv").exists()
+
+
+def test_format_parity_with_reference(tmp_path, ref_binary):
+    """Run the compiled reference and our CLI on the same data and compare
+    output file shapes and marginal row invariants."""
+    data, true_states, _ = synth_data(T=2500, seed=5)
+    fn = tmp_path / "d.csv"
+    np.savetxt(fn, data)
+
+    subprocess.run(
+        [ref_binary, "-f", str(fn), "-s", "3", "-a", "-R", "1",
+         "-o", str(tmp_path / "ref-"), ".csv",
+         "-i", "M", "30", "0", "F", "30", "3", "-O", "marginals", "-w"],
+        check=True, capture_output=True,
+    )
+    rc = cli_main(
+        ["-f", str(fn), "-s", "3", "-a", "-R", "1",
+         "-o", str(tmp_path / "tpu-"), ".csv",
+         "-i", "M", "30", "0", "F", "30", "3", "-O", "marginals", "-w"]
+    )
+    assert rc == 0
+
+    def read_marginals(path):
+        rows = [
+            list(map(int, line.split("\t")))
+            for line in open(path).read().splitlines()
+        ]
+        T = sum(r[0] for r in rows)
+        K = max(len(r) - 1 for r in rows)
+        pos = np.zeros((T, K), dtype=float)
+        t = 0
+        for r in rows:
+            pos[t : t + r[0], : len(r) - 1] = r[1:]
+            t += r[0]
+        return pos / pos.sum(axis=1, keepdims=True)
+
+    ref = read_marginals(tmp_path / "ref-marginals.csv")
+    tpu = read_marginals(tmp_path / "tpu-marginals.csv")
+    assert ref.shape[0] == tpu.shape[0]
+    # state labels may be permuted between runs; align by best permutation
+    from itertools import permutations
+
+    best = min(
+        np.abs(ref - tpu[:, list(p)]).mean()
+        for p in permutations(range(tpu.shape[1]))
+    )
+    # posterior marginals agree within Monte-Carlo error on average
+    assert best < 0.08, best
