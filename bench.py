@@ -1,0 +1,113 @@
+"""Benchmark: Gibbs sweeps/s on a WGS-like synthetic config, vs the
+compiled reference binary on the same data and scheme.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The config follows BASELINE.json config 1 scaled up: univariate 3-state
+Gaussian CNV segmentation, dynamic wavelet compression, FB-Gibbs sweeps with
+marginals recording. vs_baseline is (our sweeps/s) / (reference sweeps/s),
+with the reference's sampling time isolated from its ingest time by running
+the scheme twice (F N 3 vs F 0 3).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+T = 4_000_000
+SWEEPS = 200
+THIN = 5
+REF_BIN = "/tmp/hammlet_ref/hammlet"
+DATA_FILE = f"/tmp/hammlet_bench/data_{T}.csv"
+
+
+def synth(T, seed=0):
+    rng = np.random.default_rng(seed)
+    means = np.array([0.0, 5.0, -5.0])
+    n_seg = max(1, T // 1000)
+    state = rng.integers(0, 3, size=n_seg)
+    reps = np.full(n_seg, 1000)
+    reps[-1] = T - 1000 * (n_seg - 1)
+    mu = np.repeat(means[state], reps)
+    return (mu + rng.normal(0, 1, size=T)).astype(np.float32)
+
+
+def ensure_data():
+    if not os.path.exists(DATA_FILE):
+        os.makedirs(os.path.dirname(DATA_FILE), exist_ok=True)
+        data = synth(T)
+        np.savetxt(DATA_FILE, data, fmt="%.5f")
+    return np.loadtxt(DATA_FILE, dtype=np.float32)
+
+
+def bench_ours(data):
+    from hammlet_tpu.io.records import Records
+    from hammlet_tpu.runner import make_engine
+
+    out = "/tmp/hammlet_bench/tpu-"
+    rec = Records(len(data), out, ".csv", 3, overwrite=True)
+    eng = make_engine(data, nr_params=3, seed=0, records=rec)
+    eng.run("F", 3, 0)  # warmup: compile + first sweeps
+    eng.total_sweeps = 0.0
+    eng.sample_time = 0.0
+    eng.run("F", SWEEPS, THIN)
+    sps = eng.sweeps_per_second
+    eng.finalize()
+    return sps
+
+
+def bench_reference(data):
+    """Reference sweeps/s with ingest time subtracted (the binary has no
+    internal timers)."""
+    if not os.path.exists(REF_BIN):
+        os.makedirs(os.path.dirname(REF_BIN), exist_ok=True)
+        r = subprocess.run(
+            ["g++", "-O3", "--std=c++11", "-include", "limits", "-o", REF_BIN,
+             "/root/reference/src/main.cpp"],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            return None
+    out = "/tmp/hammlet_bench/ref-"
+
+    def run(n_sweeps):
+        t0 = time.time()
+        subprocess.run(
+            [REF_BIN, "-f", DATA_FILE, "-s", "3", "-a", "-R", "0",
+             "-o", out, ".csv", "-O", "marginals",
+             "-i", "F", str(n_sweeps), str(THIN), "-w"],
+            check=True, capture_output=True,
+        )
+        return time.time() - t0
+
+    t_base = run(0)
+    t_full = run(SWEEPS)
+    dt = max(t_full - t_base, 1e-6)
+    return SWEEPS / dt
+
+
+def main():
+    data = ensure_data()
+    ours = bench_ours(data)
+    ref = bench_reference(data)
+    vs = (ours / ref) if ref else None
+    print(
+        json.dumps(
+            {
+                "metric": f"FB-Gibbs sweeps/s ({T/1e6:.0f}M positions, "
+                "3 states, dynamic compression, marginals thin=5)",
+                "value": round(ours, 3),
+                "unit": "sweeps/s",
+                "vs_baseline": round(vs, 3) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

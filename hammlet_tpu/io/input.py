@@ -25,9 +25,15 @@ def read_values(paths: list[str] | None, nr_dim: int = 1) -> np.ndarray:
     Raises if the total value count is not a multiple of nr_dim
     (wavelet.hpp:179-181).
     """
+    from hammlet_tpu import native
+
     chunks = []
     if paths:
         for p in paths:
+            vals = native.parse_file(p) if native.available() else None
+            if vals is not None:
+                chunks.append(vals)
+                continue
             opener = gzip.open if p.endswith(".gz") else open
             with opener(p, "rt") as fh:
                 chunks.append(_read_stream(fh))

@@ -113,6 +113,14 @@ class Records:
                 internal = nseg * (self.nr_states + 1)
                 self._files["segments"].write(f"{nseg}\t{internal}\n")
 
+    def record_compression(self, n_blocks: int) -> None:
+        """Compression-ratio line only (used by the scanned fast path that
+        doesn't materialize per-sweep block arrays)."""
+        if "compression" in self._files:
+            self._files["compression"].write(
+                _fmt_g(self.T / max(1, n_blocks)) + "\n"
+            )
+
     def record_theta(self, theta_mean: np.ndarray, theta_var: np.ndarray) -> None:
         """Records.hpp:146-153 / Theta::str (mean, var per parameter)."""
         if "parameters" in self._files:

@@ -1,0 +1,158 @@
+"""ctypes bindings for the native ingest library (native/ingest.cpp).
+
+The library is optional: every function has a NumPy/JAX fallback. It covers
+the host-side, I/O-bound ingest (fast float parsing, streaming maxlet
+transform, breakpoint weights, prefix-sum construction) — the part of the
+pipeline the reference implements as C++ streaming code.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.abspath(os.path.join(_SRC_DIR, "libhammlet_ingest.so"))
+    if not os.path.exists(so):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_SRC_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.hammlet_parse_file.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.hammlet_parse_file.restype = ctypes.c_int
+    lib.hammlet_free.argtypes = [ctypes.c_void_p]
+    lib.hammlet_maxlet.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.hammlet_breakpoint_weights.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.hammlet_noise_std.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.hammlet_noise_std.restype = ctypes.c_double
+    lib.hammlet_prefix_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_file(path: str) -> np.ndarray | None:
+    """Fast parse of a (possibly gzipped) whitespace-separated float file."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    count = ctypes.c_int64()
+    rc = lib.hammlet_parse_file(path.encode(), ctypes.byref(out), ctypes.byref(count))
+    if rc != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(count.value,)).copy()
+    finally:
+        lib.hammlet_free(out)
+    return arr
+
+
+def maxlet(data: np.ndarray) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        data = data[:, None]
+    T, dim = data.shape
+    coeffs = np.empty(T, dtype=np.float32)
+    lib.hammlet_maxlet(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        T,
+        dim,
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return coeffs
+
+
+def breakpoint_weights(coeffs: np.ndarray) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(coeffs, dtype=np.float32).copy()
+    lib.hammlet_breakpoint_weights(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(w)
+    )
+    return w
+
+
+def noise_std(coeffs: np.ndarray) -> float | None:
+    lib = _load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(coeffs, dtype=np.float32)
+    return float(lib.hammlet_noise_std(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(c)
+    ))
+
+
+def prefix_stats(data: np.ndarray, cell_bits: int = 16):
+    """(r, q2) arrays as in ops.blocks.build_prefix_stats (q2 in float64)."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        data = data[:, None]
+    T, dim = data.shape
+    cell = 1 << cell_bits
+    n_cells = (T + cell - 1) // cell
+    r = np.empty((T + 1, dim, 2), dtype=np.float32)
+    q2 = np.empty((n_cells + 1, dim, 2), dtype=np.float64)
+    lib.hammlet_prefix_stats(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        T,
+        dim,
+        cell_bits,
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        q2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return r, q2

@@ -56,12 +56,15 @@ class PrefixStats(NamedTuple):
         return self.r.shape[1]
 
 
-def build_prefix_stats(data: np.ndarray) -> PrefixStats:
+def build_prefix_stats(data: np.ndarray, cell_bits: int = CELL_BITS) -> PrefixStats:
     """Host-side ingest: build PrefixStats from raw data (T,) or (T, dim).
 
     Accumulation runs in float64 and is rounded to float32 once, which
     dominates the accuracy of the reference's float32 Kahan cells.
+    ``cell_bits`` sets the cell size (2**cell_bits); it must match the value
+    passed to ``block_sufficient_stats``.
     """
+    CELL = 1 << cell_bits
     data = np.asarray(data, dtype=np.float64)
     if data.ndim == 1:
         data = data[:, None]
@@ -129,7 +132,9 @@ def make_blocks(weights: jax.Array, threshold: jax.Array, capacity: int) -> Bloc
     return BlockStructure(starts, ends, ends - starts, n_blocks)
 
 
-def block_sufficient_stats(prefix: PrefixStats, blocks: BlockStructure) -> jax.Array:
+def block_sufficient_stats(
+    prefix: PrefixStats, blocks: BlockStructure, cell_bits: int = CELL_BITS
+) -> jax.Array:
     """(Bcap, dim, 2) float32 — per-block (sum x, sum x^2) per dim.
 
     Two gathers + cross-cell correction; padded blocks yield exact zeros
@@ -138,8 +143,8 @@ def block_sufficient_stats(prefix: PrefixStats, blocks: BlockStructure) -> jax.A
     s, e = blocks.starts, blocks.ends
     r_s = prefix.r[s]  # (B, dim, 2)
     r_e = prefix.r[e]
-    cs = (s >> CELL_BITS).astype(jnp.int32)
-    ce = (e >> CELL_BITS).astype(jnp.int32)
+    cs = (s >> cell_bits).astype(jnp.int32)
+    ce = (e >> cell_bits).astype(jnp.int32)
     q_hi = prefix.q2_hi[ce] - prefix.q2_hi[cs]
     q_lo = prefix.q2_lo[ce] - prefix.q2_lo[cs]
     return (r_s - r_e) + (q_hi + q_lo)

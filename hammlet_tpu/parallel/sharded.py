@@ -1,0 +1,608 @@
+"""Position-sharded Gibbs sweep over a device mesh.
+
+The reference is strictly single-threaded (SURVEY.md §2.3); this module is
+the new distributed design. The position axis is sharded over a 1-D mesh.
+Each sweep exchanges only O(P * K^2) scalars between shards:
+
+- block boundaries: each shard thresholds its local weights; a block whose
+  start lies in shard k extends to the first boundary of any later shard,
+  found from an all_gather of P per-shard first-boundary positions. Block
+  *identity* is exactly the single-device (= reference) partition; blocks
+  are never split at shard edges.
+- block statistics: fully local via the cell-structured prefix sums (shard
+  sizes are cell-aligned and each shard holds one extra R entry for its
+  right edge), plus the all-gathered per-shard "head" statistics for blocks
+  spanning shards.
+- forward pass: local associative scans of K x K block matrices, then a
+  cross-shard prefix over the P gathered shard-total matrices.
+- backward pass: local random-map suffix compositions, then a cross-shard
+  suffix over the P gathered shard-total maps; the final state is drawn
+  identically on every shard from the shared key.
+- sweep statistics are psum-ed and the conjugate model update runs
+  replicated (same key -> identical new model on all shards).
+
+The marginal count buffers stay sharded with the position axis, so a 3 Gbp
+genome's counts never materialize on one chip.
+
+Layout: T is padded to T_pad = P * T_local with T_local a multiple of the
+prefix-cell size; padding weights are -inf (never boundaries) and padded
+data is zero, so the block partition of [0, T) is untouched and padding
+positions belong to no block.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from hammlet_tpu.io.records import Records
+from hammlet_tpu.models.autopriors import autoprior, noise_std_estimate
+from hammlet_tpu.models.hmm import (
+    HMMPriors,
+    HMMState,
+    ModelSpec,
+    SweepStats,
+    resample_model,
+    sample_from_priors,
+)
+from hammlet_tpu.models.distributions import emission_log_weights
+from hammlet_tpu.ops.blocks import build_prefix_stats
+from hammlet_tpu.ops.wavelet import breakpoint_weights, maxlet_transform
+from hammlet_tpu.parallel.mesh import POS_AXIS, position_mesh
+from hammlet_tpu.samplers.forward_backward import (
+    _compose_maps_rev,
+    _scaled_matmul,
+)
+from hammlet_tpu.samplers.sweep import accumulate_sweep_stats
+
+
+def _sharded_sweep_body(
+    key,
+    model: HMMState,
+    priors: HMMPriors,
+    w_l,  # (T_local,) local breakpoint weights
+    r_l,  # (T_local + 1,) local in-cell reverse prefix (extra right-edge row)
+    q2_hi,  # (n_cells + 1, dim, 2) replicated
+    q2_lo,
+    counts_l,  # (T_local, K) local marginal counts
+    everb_l,  # (T_local,) local boundary union
+    n_rec,
+    do_record,
+    use_dynamic,
+    static_threshold,
+    *,
+    method: str,
+    cap_local: int,
+    T: int,
+    T_local: int,
+    cell_bits: int,
+    mapping_np: np.ndarray,
+    nr_params: int,
+    use_self_transitions: bool,
+):
+    """Per-shard sweep body (runs under shard_map along the 'pos' axis)."""
+    nP = jax.lax.axis_size(POS_AXIS)
+    k = jax.lax.axis_index(POS_AXIS)
+    shard_start = (k * T_local).astype(jnp.int32)
+    shard_end = shard_start + T_local
+    mapping = jnp.asarray(mapping_np)
+    K = mapping.shape[0]
+
+    def query(s_glob, e_glob):
+        """Block stats for global [s, e) with both endpoints in
+        [shard_start, shard_end]; the local R carries the right-edge entry."""
+        r_s = r_l[s_glob - shard_start]
+        r_e = r_l[e_glob - shard_start]
+        cs = (s_glob >> cell_bits).astype(jnp.int32)
+        ce = (e_glob >> cell_bits).astype(jnp.int32)
+        return (r_s - r_e) + (
+            (q2_hi[ce] - q2_hi[cs]) + (q2_lo[ce] - q2_lo[cs])
+        )
+
+    thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
+
+    # ---- local block boundaries -----------------------------------------
+    mask = w_l >= thr
+    nb_l = jnp.sum(mask, dtype=jnp.int32)
+    (lstarts,) = jnp.nonzero(mask, size=cap_local, fill_value=T_local)
+    gstarts = lstarts.astype(jnp.int32) + shard_start  # padded -> shard_end
+    bidx = jnp.arange(cap_local)
+    valid_b = bidx < nb_l
+    is_last_real = bidx == nb_l - 1
+
+    first_b = jnp.where(nb_l > 0, gstarts[0], T).astype(jnp.int32)
+    firsts_all = jax.lax.all_gather(first_b, POS_AXIS)  # (P,)
+    shard_ids = jnp.arange(nP, dtype=jnp.int32)
+    later_first = jnp.where(shard_ids > k, firsts_all, T)
+    next_boundary = jnp.min(later_first).astype(jnp.int32)  # default T
+
+    gends_next = jnp.concatenate([gstarts[1:], shard_end[None]])
+    gends = jnp.where(is_last_real, next_boundary, gends_next)
+    sizes = gends - gstarts  # padded blocks: shard_end - shard_end = 0
+
+    # ---- block sufficient statistics ------------------------------------
+    # all blocks as if they end inside the shard (the last real one is cut
+    # at shard_end), then add gathered heads for the shards the last block
+    # spans
+    e_local = jnp.minimum(gends, shard_end)
+    stats_local = query(gstarts, e_local)
+
+    head_end = jnp.clip(
+        jnp.minimum(first_b, shard_end), shard_start, shard_end
+    ).astype(jnp.int32)
+    head_stat = query(shard_start, head_end)  # (dim, 2)
+    heads_all = jax.lax.all_gather(head_stat, POS_AXIS)  # (P, dim, 2)
+
+    include = (shard_ids > k) & (shard_ids * T_local < next_boundary)
+    tail_extra = jnp.sum(
+        jnp.where(include[:, None, None], heads_all, 0.0), axis=0
+    )
+    bstats = stats_local + jnp.where(
+        (is_last_real & (gends > shard_end))[:, None, None],
+        tail_extra[None],
+        0.0,
+    )
+
+    # ---- state sampling --------------------------------------------------
+    k_z, k_model, k_local = jax.random.split(key, 3)
+    k_maps = jax.random.fold_in(k_local, k)
+
+    log_e = emission_log_weights(
+        bstats, sizes, model.theta_mean, model.theta_var, mapping
+    )
+
+    nb_all = jax.lax.all_gather(nb_l, POS_AXIS)  # (P,)
+
+    if method == "M":
+        gumbel = jax.random.gumbel(k_maps, (cap_local, K), dtype=jnp.float32)
+        z_l = jnp.where(
+            valid_b, jnp.argmax(log_e + gumbel, axis=1).astype(jnp.int32), 0
+        )
+    elif method == "F":
+        sizes_f = sizes.astype(jnp.float32)
+        log_a_ss = jnp.log(jnp.diagonal(model.A))
+        E = log_e
+        if use_self_transitions:
+            E = E + (sizes_f[:, None] - 1.0) * log_a_ss[None, :]
+        e_w = jnp.exp(E - jnp.max(E, axis=1, keepdims=True))
+        M = model.A[None, :, :] * e_w[:, None, :]
+        M = jnp.where(
+            valid_b[:, None, None], M, jnp.eye(K, dtype=M.dtype)[None]
+        )
+
+        L = jax.lax.associative_scan(_scaled_matmul, M, axis=0)
+        tots_all = jax.lax.all_gather(L[-1], POS_AXIS)  # (P, K, K)
+
+        pre = jax.lax.fori_loop(
+            0,
+            nP,
+            lambda j, acc: jnp.where(
+                j < k, _scaled_matmul(acc, tots_all[j]), acc
+            ),
+            jnp.eye(K, dtype=jnp.float32),
+        )
+        alpha = jnp.einsum(
+            "i,bij->bj", model.pi @ pre, L, preferred_element_type=jnp.float32
+        )
+        alpha = alpha / jnp.maximum(
+            jnp.sum(alpha, axis=1, keepdims=True), jnp.float32(1e-35)
+        )
+
+        all_prod = jax.lax.fori_loop(
+            0,
+            nP,
+            lambda j, acc: _scaled_matmul(acc, tots_all[j]),
+            jnp.eye(K, dtype=jnp.float32),
+        )
+        v_last = model.pi @ all_prod
+        last_col = v_last / jnp.maximum(jnp.sum(v_last), jnp.float32(1e-35))
+
+        m_star = jnp.max(jnp.where(nb_all > 0, shard_ids, -1))
+        is_global_last = (k == m_star) & is_last_real
+
+        if use_self_transitions:
+            scale = jnp.exp((sizes_f[:, None] - 1.0) * log_a_ss[None, :])
+            cols = jnp.where(is_global_last[:, None], alpha, alpha * scale)
+        else:
+            cols = alpha
+
+        z_last = jax.random.categorical(
+            k_z, jnp.log(jnp.maximum(last_col, 1e-38))[None, :]
+        )[0]
+
+        logits = (
+            jnp.log(jnp.maximum(cols, jnp.float32(1e-38)))[:, :, None]
+            + jnp.log(jnp.maximum(model.A, jnp.float32(1e-38)))[None, :, :]
+        )
+        gumbel = jax.random.gumbel(
+            k_maps, (cap_local, K, K), dtype=jnp.float32
+        )
+        pred = jnp.argmax(logits + gumbel, axis=1).astype(jnp.int32)
+        ident = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32), (cap_local, K)
+        )
+        use_pred = valid_b[:, None] & (~is_global_last[:, None])
+        maps = jnp.where(use_pred, pred, ident)
+
+        r_suffix = jax.lax.associative_scan(
+            _compose_maps_rev, maps, axis=0, reverse=True
+        )
+        tmaps_all = jax.lax.all_gather(r_suffix[0], POS_AXIS)  # (P, K)
+
+        after = jax.lax.fori_loop(
+            0,
+            nP,
+            lambda i, acc: jnp.where(
+                (nP - 1 - i) > k, tmaps_all[nP - 1 - i][acc], acc
+            ),
+            jnp.arange(K, dtype=jnp.int32),
+        )
+        z_l = r_suffix[:, after[z_last]]
+    else:  # pragma: no cover
+        raise ValueError(f"unknown sampling method {method!r}")
+
+    # ---- carry states across shards -------------------------------------
+    last_state_l = jnp.where(nb_l > 0, z_l[jnp.maximum(nb_l - 1, 0)], 0)
+    laststates_all = jax.lax.all_gather(last_state_l, POS_AXIS)  # (P,)
+    carry_state = jax.lax.fori_loop(
+        0,
+        nP,
+        lambda j, acc: jnp.where(
+            (j < k) & (nb_all[j] > 0), laststates_all[j], acc
+        ),
+        jnp.int32(0),
+    )
+
+    # ---- sweep statistics (local, then psum) ----------------------------
+    stats = accumulate_sweep_stats(z_l, sizes, nb_l, bstats, mapping, nr_params)
+    # accumulate_sweep_stats used prev=0 for the first local block; replace
+    # with the carried state (the global chain's previous block state)
+    has_blocks = nb_l > 0
+    z0 = z_l[0]
+    delta = jnp.where(has_blocks, 1.0, 0.0)
+    trans_counts = (
+        stats.trans_counts.at[0, z0].add(-delta).at[carry_state, z0].add(delta)
+    )
+    stats = SweepStats(
+        theta_sums=jax.lax.psum(stats.theta_sums, POS_AXIS),
+        theta_sumsqs=jax.lax.psum(stats.theta_sumsqs, POS_AXIS),
+        theta_counts=jax.lax.psum(stats.theta_counts, POS_AXIS),
+        trans_counts=jax.lax.psum(trans_counts, POS_AXIS),
+        state_counts=jax.lax.psum(stats.state_counts, POS_AXIS),
+    )
+    new_model = resample_model(k_model, priors, stats)
+
+    # ---- recording (sharded) --------------------------------------------
+    overflow = jnp.max(nb_all) > cap_local
+    pos_idx = jnp.arange(T_local)
+
+    def do_rec(args):
+        counts_l, everb_l, n_rec = args
+        marks = jnp.zeros((T_local,), jnp.int32).at[lstarts].add(
+            valid_b.astype(jnp.int32), mode="drop"
+        )
+        block_id = jnp.cumsum(marks) - 1
+        pos_state = jnp.where(
+            block_id < 0, carry_state, z_l[jnp.maximum(block_id, 0)]
+        )
+        in_data = (shard_start + pos_idx) < T
+        counts_l = counts_l.at[pos_idx, pos_state].add(
+            in_data.astype(jnp.int32)
+        )
+        prev_state = jnp.concatenate([carry_state[None], pos_state[:-1]])
+        changed = (pos_state != prev_state) & in_data
+        changed = changed & ((shard_start + pos_idx) > 0)
+        return counts_l, everb_l | changed, n_rec + 1
+
+    counts_l, everb_l, n_rec = jax.lax.cond(
+        do_record & ~overflow, do_rec, lambda a: a, (counts_l, everb_l, n_rec)
+    )
+
+    return new_model, counts_l, everb_l, n_rec, z_l, sizes, nb_l[None], thr
+
+
+def build_sharded_sweep(
+    mesh: Mesh,
+    *,
+    method: str,
+    cap_local: int,
+    T: int,
+    T_local: int,
+    cell_bits: int,
+    mapping_np: np.ndarray,
+    nr_params: int,
+    use_self_transitions: bool,
+):
+    """Compile-ready sharded sweep: shard_map over the position axis."""
+    body = functools.partial(
+        _sharded_sweep_body,
+        method=method,
+        cap_local=cap_local,
+        T=T,
+        T_local=T_local,
+        cell_bits=cell_bits,
+        mapping_np=mapping_np,
+        nr_params=nr_params,
+        use_self_transitions=use_self_transitions,
+    )
+    rep = P()
+    sh = P(POS_AXIS)
+    specs = dict(
+        mesh=mesh,
+        in_specs=(rep, rep, rep, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
+        out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
+    )
+    try:
+        fn = shard_map(body, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover - older jax uses check_rep
+        fn = shard_map(body, check_rep=False, **specs)
+    return jax.jit(fn, donate_argnums=(7, 8))
+
+
+@dataclass
+class ShardedEngine:
+    """Multi-device engine mirroring runner.Engine with position sharding."""
+
+    mesh: Mesh
+    spec: ModelSpec
+    priors: HMMPriors
+    seed: int
+    T: int
+    T_local: int
+    cell_bits: int
+    weights: jax.Array  # (T_pad,) sharded breakpoint weights
+    r: jax.Array  # (P*(T_local+1),) sharded local R with right-edge rows
+    q2_hi: jax.Array
+    q2_lo: jax.Array
+    records: Records | None = None
+    cap_local: int = 1024
+
+    model: HMMState = field(init=False)
+    sweep_counter: int = field(init=False, default=0)
+    total_sweeps: float = field(init=False, default=0.0)
+    sample_time: float = field(init=False, default=0.0)
+
+    def __post_init__(self):
+        self._key = jax.random.PRNGKey(self.seed)
+        self.n_shards = self.mesh.devices.size
+        K = self.spec.nr_states
+        T_pad = self.T_local * self.n_shards
+        shard = NamedSharding(self.mesh, P(POS_AXIS))
+        self.counts = jax.device_put(jnp.zeros((T_pad, K), jnp.int32), shard)
+        self.everb = jax.device_put(jnp.zeros((T_pad,), bool), shard)
+        self.n_rec = jnp.zeros((), jnp.int32)
+        self.model = sample_from_priors(self._next_key(), self.priors)
+        self._dynamic = True
+        self._static_threshold = jnp.float32(0.0)
+        self._mapping_np = self.spec.mapping()
+        self._sweeps = {}
+
+    def _next_key(self):
+        self.sweep_counter += 1
+        return jax.random.fold_in(self._key, self.sweep_counter)
+
+    def _sweep_fn(self, method: str):
+        ck = (method, self.cap_local)
+        if ck not in self._sweeps:
+            self._sweeps[ck] = build_sharded_sweep(
+                self.mesh,
+                method=method,
+                cap_local=self.cap_local,
+                T=self.T,
+                T_local=self.T_local,
+                cell_bits=self.cell_bits,
+                mapping_np=self._mapping_np,
+                nr_params=self.spec.nr_params,
+                use_self_transitions=self.spec.use_self_transitions,
+            )
+        return self._sweeps[ck]
+
+    # -- scheme ops (same protocol as runner.Engine) ----------------------
+
+    def sample_prior(self):
+        self.model = sample_from_priors(self._next_key(), self.priors)
+
+    def set_static(self):
+        self._dynamic = False
+        self._static_threshold = jnp.float32(float(self.model.threshold(self.T)))
+
+    def set_dynamic(self):
+        self._dynamic = True
+
+    def run(self, method: str, iterations: int, thinning: int):
+        t0 = time.time()
+        for i in range(iterations):
+            do_record = thinning > 0 and (i + 1) % thinning == 0
+            self._one_sweep(method, do_record)
+        jax.block_until_ready(self.model.theta_mean)
+        self.sample_time += time.time() - t0
+        self.total_sweeps += iterations
+
+    def _one_sweep(self, method: str, do_record: bool):
+        key = self._next_key()
+        while True:
+            fn = self._sweep_fn(method)
+            new_model, counts, everb, n_rec, z, sizes, nb_shard, thr = fn(
+                key,
+                self.model,
+                self.priors,
+                self.weights,
+                self.r,
+                self.q2_hi,
+                self.q2_lo,
+                self.counts,
+                self.everb,
+                self.n_rec,
+                jnp.asarray(do_record),
+                jnp.asarray(self._dynamic),
+                self._static_threshold,
+            )
+            self.counts, self.everb = counts, everb
+            nb = np.asarray(nb_shard)
+            if int(nb.max()) <= self.cap_local:
+                break
+            self.cap_local = min(
+                self.T_local, max(self.cap_local * 2, int(nb.max() * 2))
+            )
+        self.model = new_model
+        self.n_rec = n_rec
+        if self.records is not None and do_record:
+            if self.records.wants_block_level():
+                z_h = np.asarray(z).reshape(self.n_shards, -1)
+                s_h = np.asarray(sizes).reshape(self.n_shards, -1)
+                states = np.concatenate(
+                    [z_h[j, : nb[j]] for j in range(self.n_shards)]
+                )
+                szs = np.concatenate(
+                    [s_h[j, : nb[j]] for j in range(self.n_shards)]
+                )
+                n_bound = None
+                if "segments" in self.records.enabled:
+                    n_bound = int(np.asarray(jnp.sum(self.everb)))
+                self.records.record_sweep(states, szs, int(nb.sum()), n_bound)
+            self.records.record_theta(
+                np.asarray(new_model.theta_mean),
+                np.asarray(new_model.theta_var),
+            )
+
+    def run_scheme(self, tokens: list[str]):
+        from hammlet_tpu.runner import parse_scheme
+
+        for op in parse_scheme(tokens):
+            if op[0] == "prior":
+                self.sample_prior()
+            elif op[0] == "static":
+                self.set_static()
+            elif op[0] == "dynamic":
+                self.set_dynamic()
+            else:
+                _, method, iters, thin = op
+                self.run(method, iters, thin)
+
+    def finalize(self):
+        if self.records is not None:
+            self.records.save_marginals(
+                np.asarray(self.counts)[: self.T],
+                np.asarray(self.everb)[: self.T],
+            )
+            self.records.close()
+
+    @property
+    def sweeps_per_second(self) -> float:
+        return self.total_sweeps / max(self.sample_time, 1e-9)
+
+
+def _choose_layout(T: int, n_shards: int) -> tuple[int, int]:
+    """(T_local, cell_bits): shard size cell-aligned, cells <= 2^16."""
+    t0 = -(-T // n_shards)  # ceil
+    cell_bits = min(16, max(2, (max(t0, 4) - 1).bit_length()))
+    cell = 1 << cell_bits
+    T_local = -(-t0 // cell) * cell
+    return T_local, cell_bits
+
+
+def _local_r_with_edges(r_pad: np.ndarray, n_shards: int, T_local: int, cell: int):
+    """Rearrange the global R into per-shard rows of T_local + 1 entries,
+    the extra entry being R[shard_end] = the full sum of the cell starting
+    at the shard's right edge (0 for the last shard)."""
+    dim = r_pad.shape[1]
+    out = np.zeros((n_shards * (T_local + 1), dim, 2), dtype=np.float32)
+    for j in range(n_shards):
+        lo = j * T_local
+        out[j * (T_local + 1) : j * (T_local + 1) + T_local] = r_pad[
+            lo : lo + T_local
+        ]
+        edge = (j + 1) * T_local
+        if edge < n_shards * T_local:
+            out[j * (T_local + 1) + T_local] = r_pad[edge]
+        # else: 0 (sum over empty region)
+    return out
+
+
+def make_sharded_engine(
+    data: np.ndarray,
+    mesh: Mesh | None = None,
+    n_devices: int | None = None,
+    nr_params: int = 3,
+    nr_data_dim: int = 1,
+    seed: int = 0,
+    s2: float = 0.2,
+    p: float = 0.9,
+    trans: float = 0.5,
+    self_trans: float = 0.5,
+    initial_alpha: float = 0.5,
+    weight_multiplier: float = 1.0,
+    use_self_transitions: bool = True,
+    records: Records | None = None,
+    cap_local: int | None = None,
+) -> ShardedEngine:
+    """Ingest + auto-priors + sharded engine construction."""
+    if mesh is None:
+        mesh = position_mesh(n_devices)
+    n_shards = mesh.devices.size
+    data = np.asarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        data = data[:, None]
+    T, dim = data.shape
+    T_local, cell_bits = _choose_layout(T, n_shards)
+    cell = 1 << cell_bits
+    T_pad = T_local * n_shards
+
+    coeffs = maxlet_transform(jnp.asarray(data))
+    noise = noise_std_estimate(np.asarray(coeffs))
+    weights = np.asarray(breakpoint_weights(coeffs))
+    if weight_multiplier != 1.0:
+        weights = weights * np.float32(weight_multiplier)
+    w_pad = np.full(T_pad, -np.inf, dtype=np.float32)
+    w_pad[:T] = weights
+
+    data_pad = np.zeros((T_pad, dim), dtype=np.float32)
+    data_pad[:T] = data
+    prefix = build_prefix_stats(data_pad, cell_bits)
+    r_pad = np.asarray(prefix.r)[:T_pad]
+    r_local = _local_r_with_edges(r_pad, n_shards, T_local, cell)
+
+    spec = ModelSpec(nr_params, nr_data_dim, use_self_transitions)
+    thr0 = np.sqrt(2 * np.log(float(T))) * noise
+    ap_cap = int((weights >= thr0).sum()) + 8
+    prefix_T = build_prefix_stats(data)
+    nig_row = autoprior(s2, p, jnp.asarray(weights), prefix_T, noise, ap_cap)
+    nig = np.tile(nig_row, (nr_params, 1))
+    priors = HMMPriors.create(nig, spec.nr_states, trans, self_trans, initial_alpha)
+
+    shard = NamedSharding(mesh, P(POS_AXIS))
+    rep = NamedSharding(mesh, P())
+    weights_dev = jax.device_put(jnp.asarray(w_pad), shard)
+    r_dev = jax.device_put(jnp.asarray(r_local), shard)
+    q2_hi = jax.device_put(prefix.q2_hi, rep)
+    q2_lo = jax.device_put(prefix.q2_lo, rep)
+
+    if cap_local is None:
+        nb0 = int((weights >= thr0).sum())
+        cap_local = min(T_local, max(64, 4 * nb0 // n_shards + 64))
+
+    return ShardedEngine(
+        mesh=mesh,
+        spec=spec,
+        priors=priors,
+        seed=seed,
+        T=T,
+        T_local=T_local,
+        cell_bits=cell_bits,
+        weights=weights_dev,
+        r=r_dev,
+        q2_hi=q2_hi,
+        q2_lo=q2_lo,
+        records=records,
+        cap_local=cap_local,
+    )

@@ -30,7 +30,7 @@ from hammlet_tpu.models.hmm import (
 )
 from hammlet_tpu.ops.blocks import build_prefix_stats
 from hammlet_tpu.ops.wavelet import breakpoint_weights, maxlet_transform
-from hammlet_tpu.samplers.sweep import RecordBuffers, gibbs_sweep
+from hammlet_tpu.samplers.sweep import RecordBuffers, gibbs_phase, gibbs_sweep
 
 
 def parse_scheme(tokens: list[str]) -> list[tuple]:
@@ -170,14 +170,65 @@ class Engine:
         self._dynamic = True
 
     def run(self, method: str, iterations: int, thinning: int) -> None:
-        """One F/M phase of `iterations` sweeps with record thinning."""
+        """One F/M phase of `iterations` sweeps with record thinning.
+
+        Uses the fully on-device scanned phase (one dispatch, no per-sweep
+        host syncs) unless a record stream needs per-sweep block arrays."""
+        if iterations <= 0:
+            return
+        needs_blocks = self.records is not None and bool(
+            {"sequences", "blocks", "segments"} & self.records.enabled
+        )
         t0 = time.time()
-        for i in range(iterations):
-            do_record = thinning > 0 and (i + 1) % thinning == 0
-            self._one_sweep(method, do_record)
+        if needs_blocks:
+            for i in range(iterations):
+                do_record = thinning > 0 and (i + 1) % thinning == 0
+                self._one_sweep(method, do_record)
+        else:
+            self._run_phase_scanned(method, iterations, thinning)
         jax.block_until_ready(self.model.theta_mean)
         self.sample_time += time.time() - t0
         self.total_sweeps += iterations
+
+    def _run_phase_scanned(self, method: str, iterations: int, thinning: int) -> None:
+        key = self._next_key()
+        recording = thinning > 0
+        while True:
+            # snapshot buffers so an overflow replay cannot double-record
+            backup = (
+                jax.tree.map(jnp.copy, self.buffers) if recording else None
+            )
+            model, buffers, nbs, means, varis = gibbs_phase(
+                key,
+                self.model,
+                self.priors,
+                self.ing.weights,
+                self.ing.prefix,
+                self.buffers,
+                jnp.int32(thinning),
+                jnp.asarray(self._dynamic),
+                self._static_threshold,
+                method=method,
+                capacity=self.capacity,
+                spec_nr_params=self.spec.nr_params,
+                mapping_tuple=self._mapping_tuple,
+                use_self_transitions=self.spec.use_self_transitions,
+                n_iters=iterations,
+            )
+            max_nb = int(np.asarray(jnp.max(nbs)))
+            if max_nb <= self.capacity:
+                self.model, self.buffers = model, buffers
+                break
+            self.capacity = min(self.ing.T, _round_capacity(2 * max_nb))
+            self.buffers = backup if backup is not None else buffers
+        if self.records is not None and recording:
+            means_h = np.asarray(means)
+            varis_h = np.asarray(varis)
+            nbs_h = np.asarray(nbs)
+            for i in range(iterations):
+                if (i + 1) % thinning == 0:
+                    self.records.record_compression(int(nbs_h[i]))
+                    self.records.record_theta(means_h[i], varis_h[i])
 
     def _one_sweep(self, method: str, do_record: bool) -> None:
         key = self._next_key()

@@ -151,6 +151,115 @@ def record_sweep(
     )
 
 
+def _sweep_core(
+    key,
+    model: HMMState,
+    priors: HMMPriors,
+    weights,
+    prefix: PrefixStats,
+    buffers: RecordBuffers,
+    do_record,
+    use_dynamic,
+    static_threshold,
+    *,
+    method: str,
+    capacity: int,
+    spec_nr_params: int,
+    mapping: jax.Array,
+    use_self_transitions: bool,
+):
+    """Shared sweep body used by both the per-sweep and the scanned phase
+    entry points."""
+    T = weights.shape[0]
+    thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
+    blocks = make_blocks(weights, thr, capacity)
+    bstats = block_sufficient_stats(prefix, blocks)
+
+    k_states, k_model = jax.random.split(key)
+    if method == "F":
+        states = fb_sample_states(
+            k_states, bstats, blocks.sizes, blocks.n_blocks,
+            model.theta_mean, model.theta_var, model.A, model.pi,
+            mapping, use_self_transitions,
+        )
+    elif method == "M":
+        states = mixture_sample_states(
+            k_states, bstats, blocks.sizes, blocks.n_blocks,
+            model.theta_mean, model.theta_var, mapping,
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown sampling method {method!r}")
+
+    stats = accumulate_sweep_stats(
+        states, blocks.sizes, blocks.n_blocks, bstats, mapping, spec_nr_params
+    )
+    new_model = resample_model(k_model, priors, stats)
+
+    ok = blocks.n_blocks <= capacity
+    new_buffers = jax.lax.cond(
+        jnp.logical_and(do_record, ok),
+        lambda b: record_sweep(b, states, blocks.starts, blocks.n_blocks),
+        lambda b: b,
+        buffers,
+    )
+    outputs = SweepOutputs(states, blocks.sizes, blocks.n_blocks, thr)
+    return new_model, new_buffers, outputs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple",
+                     "use_self_transitions", "n_iters"),
+    donate_argnames=("buffers",),
+)
+def gibbs_phase(
+    key: jax.Array,
+    model: HMMState,
+    priors: HMMPriors,
+    weights: jax.Array,
+    prefix: PrefixStats,
+    buffers: RecordBuffers,
+    thinning: jax.Array,  # () int32 (0 = never record)
+    use_dynamic: jax.Array,
+    static_threshold: jax.Array,
+    *,
+    method: str,
+    capacity: int,
+    spec_nr_params: int,
+    mapping_tuple: tuple,
+    use_self_transitions: bool,
+    n_iters: int,
+) -> tuple[HMMState, RecordBuffers, jax.Array, jax.Array, jax.Array]:
+    """A whole F/M phase as one on-device lax.scan — no host round-trips.
+
+    Per-sweep RNG keys are fold_in(key, i), so the driver can replay the
+    identical phase at a larger capacity after an overflow. Returns
+    (model, buffers, n_blocks_per_sweep, theta_means, theta_vars); the last
+    two are stacked per sweep for the parameters record stream.
+    """
+    mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
+
+    def body(carry, i):
+        model, buffers = carry
+        k = jax.random.fold_in(key, i)
+        do_record = (thinning > 0) & (((i + 1) % jnp.maximum(thinning, 1)) == 0)
+        new_model, new_buffers, outputs = _sweep_core(
+            k, model, priors, weights, prefix, buffers, do_record,
+            use_dynamic, static_threshold,
+            method=method, capacity=capacity,
+            spec_nr_params=spec_nr_params, mapping=mapping,
+            use_self_transitions=use_self_transitions,
+        )
+        return (new_model, new_buffers), (
+            outputs.n_blocks, new_model.theta_mean, new_model.theta_var
+        )
+
+    (model, buffers), (nbs, means, varis) = jax.lax.scan(
+        body, (model, buffers), jnp.arange(n_iters)
+    )
+    return model, buffers, nbs, means, varis
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple", "use_self_transitions"),
@@ -174,55 +283,10 @@ def gibbs_sweep(
     use_self_transitions: bool,
 ) -> tuple[HMMState, RecordBuffers, SweepOutputs]:
     """One full Gibbs iteration (HMM.hpp:99-121)."""
-    T = weights.shape[0]
     mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
-
-    thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
-    blocks = make_blocks(weights, thr, capacity)
-    bstats = block_sufficient_stats(prefix, blocks)
-
-    k_states, k_model = jax.random.split(key)
-    if method == "F":
-        states = fb_sample_states(
-            k_states,
-            bstats,
-            blocks.sizes,
-            blocks.n_blocks,
-            model.theta_mean,
-            model.theta_var,
-            model.A,
-            model.pi,
-            mapping,
-            use_self_transitions,
-        )
-    elif method == "M":
-        states = mixture_sample_states(
-            k_states,
-            bstats,
-            blocks.sizes,
-            blocks.n_blocks,
-            model.theta_mean,
-            model.theta_var,
-            mapping,
-        )
-    else:  # pragma: no cover
-        raise ValueError(f"unknown sampling method {method!r}")
-
-    stats = accumulate_sweep_stats(
-        states, blocks.sizes, blocks.n_blocks, bstats, mapping, spec_nr_params
+    return _sweep_core(
+        key, model, priors, weights, prefix, buffers, do_record,
+        use_dynamic, static_threshold,
+        method=method, capacity=capacity, spec_nr_params=spec_nr_params,
+        mapping=mapping, use_self_transitions=use_self_transitions,
     )
-    new_model = resample_model(k_model, priors, stats)
-
-    # never record a truncated sweep: if the block count overflowed the
-    # static capacity the driver replays the sweep (same key) at a larger
-    # capacity and this result is discarded
-    ok = blocks.n_blocks <= capacity
-    new_buffers = jax.lax.cond(
-        jnp.logical_and(do_record, ok),
-        lambda b: record_sweep(b, states, blocks.starts, blocks.n_blocks),
-        lambda b: b,
-        buffers,
-    )
-
-    outputs = SweepOutputs(states, blocks.sizes, blocks.n_blocks, thr)
-    return new_model, new_buffers, outputs

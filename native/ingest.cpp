@@ -1,0 +1,210 @@
+// hammlet_tpu native ingest: fast value parsing + streaming Haar maxlet
+// transform + breakpoint weights.
+//
+// This is the host-side, I/O-bound part of the pipeline (the role the
+// reference implements as C++ streaming in src/wavelet.hpp:98-188 and
+// src/main.cpp:261-318; this file is an independent implementation of the
+// same math). Exposed as a C ABI for ctypes.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libhammlet_ingest.so ingest.cpp -lz
+
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <zlib.h>
+
+namespace {
+
+const float kInf = std::numeric_limits<float>::infinity();
+const float kSqrt2Half = (float)(std::sqrt(2.0) / 2.0);
+
+// Parse whitespace-separated floats from a buffer. Returns count parsed.
+size_t parse_buffer(const char* p, const char* end, std::vector<float>& out) {
+    size_t n0 = out.size();
+    while (p < end) {
+        while (p < end && std::isspace((unsigned char)*p)) ++p;
+        if (p >= end) break;
+        char* next = nullptr;
+        float v = strtof(p, &next);
+        if (next == p) break;  // unparseable tail
+        out.push_back(v);
+        p = next;
+    }
+    return out.size() - n0;
+}
+
+bool read_file_raw(const char* path, std::vector<char>& buf) {
+    size_t len = std::strlen(path);
+    if (len > 3 && std::strcmp(path + len - 3, ".gz") == 0) {
+        gzFile f = gzopen(path, "rb");
+        if (!f) return false;
+        char chunk[1 << 20];
+        int n;
+        while ((n = gzread(f, chunk, sizeof(chunk))) > 0)
+            buf.insert(buf.end(), chunk, chunk + n);
+        gzclose(f);
+        return true;
+    }
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        return false;
+    }
+    buf.resize((size_t)st.st_size);
+    ssize_t off = 0;
+    while (off < st.st_size) {
+        ssize_t r = read(fd, buf.data() + off, st.st_size - off);
+        if (r <= 0) break;
+        off += r;
+    }
+    close(fd);
+    return off == st.st_size;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse a (possibly gzipped) text file of whitespace-separated floats.
+// Returns a malloc'd array in *out (caller frees via hammlet_free) and the
+// count; returns 0 on success.
+int hammlet_parse_file(const char* path, float** out, int64_t* count) {
+    std::vector<char> buf;
+    if (!read_file_raw(path, buf)) return 1;
+    std::vector<float> vals;
+    vals.reserve(buf.size() / 8 + 16);
+    parse_buffer(buf.data(), buf.data() + buf.size(), vals);
+    float* arr = (float*)std::malloc(vals.size() * sizeof(float));
+    if (!arr && !vals.empty()) return 2;
+    std::memcpy(arr, vals.data(), vals.size() * sizeof(float));
+    *out = arr;
+    *count = (int64_t)vals.size();
+    return 0;
+}
+
+void hammlet_free(void* p) { std::free(p); }
+
+// Streaming maxlet transform. data: T*dim floats (dimension-major per
+// position); coeffs: T floats out. coeffs[t] = max across dims of the
+// normalized absolute Haar detail coefficient of the wavelet whose central
+// discontinuity is t (level = ctz(t)+1); positions with incomplete support
+// and position 0 hold +inf. O(T) time, O(dim log T) extra space.
+void hammlet_maxlet(const float* data, int64_t T, int64_t dim, float* coeffs) {
+    std::vector<float> stack;
+    stack.reserve((size_t)dim * 64);
+    for (int64_t i = 0; i < T; ++i) {
+        coeffs[i] = kInf;
+        for (int64_t d = 0; d < dim; ++d) stack.push_back(data[i * dim + d]);
+        uint64_t j = (uint64_t)i;
+        uint64_t m = 1;
+        float norm = kSqrt2Half;
+        while (j & m) {
+            size_t L = stack.size() - 2 * (size_t)dim;
+            size_t R = stack.size() - (size_t)dim;
+            float maxc = 0.0f;
+            for (int64_t d = 0; d < dim; ++d) {
+                float c = norm * std::fabs(stack[L + d] - stack[R + d]);
+                if (c > maxc) maxc = c;
+                stack[L + d] += stack[R + d];
+            }
+            stack.resize(stack.size() - (size_t)dim);
+            coeffs[j] = maxc;
+            j -= m;
+            m <<= 1;
+            norm *= kSqrt2Half;
+        }
+    }
+    if (T > 0) coeffs[0] = kInf;
+}
+
+// In-place breakpoint weights from maxlet coefficients: top-down dyadic
+// max-propagation of each wavelet's coefficient onto its support edges.
+void hammlet_breakpoint_weights(float* w, int64_t T) {
+    if (T <= 0) return;
+    uint64_t p = 1;
+    while ((int64_t)p < T) p <<= 1;
+    for (uint64_t interval = p >> 1; interval >= 1; interval >>= 1) {
+        for (uint64_t idx = interval; (int64_t)idx < T; idx += 2 * interval) {
+            uint64_t L = idx - interval;
+            uint64_t R = idx + interval;
+            if ((int64_t)R < T) {
+                if (w[idx] > w[R]) w[R] = w[idx];
+            } else {
+                w[L] = kInf;
+                w[idx] = kInf;
+            }
+            if (w[idx] > w[L]) w[L] = w[idx];
+        }
+        if (interval == 1) break;
+    }
+}
+
+// Noise sigma estimate: mean of odd-index coefficients / sqrt(2/pi).
+double hammlet_noise_std(const float* coeffs, int64_t T) {
+    double s = 0.0;
+    int64_t n = 0;
+    for (int64_t i = 1; i < T; i += 2) {
+        s += coeffs[i];
+        ++n;
+    }
+    if (n == 0) return 0.0;
+    return (s / n) / 0.797884560802865355879892119868763736951717262329869315331;
+}
+
+// Cell-structured prefix sums: R (float32, (T+1)*dim*2) in-cell reverse
+// cumsums of (x, x^2) accumulated in double, and q2 (double,
+// (n_cells+1)*dim*2) inclusive cell prefixes with the final entry
+// duplicated. cell = 1 << cell_bits.
+void hammlet_prefix_stats(const float* data, int64_t T, int64_t dim,
+                          int cell_bits, float* r, double* q2) {
+    const int64_t cell = (int64_t)1 << cell_bits;
+    const int64_t n_cells = (T + cell - 1) / cell;
+    std::vector<double> acc(2 * (size_t)dim);
+    std::vector<double> cell_prefix(2 * (size_t)dim, 0.0);
+    // zero R tail row
+    for (int64_t d = 0; d < dim * 2; ++d) r[T * dim * 2 + d] = 0.0f;
+    for (int64_t c = n_cells - 1; c >= 0; --c) {
+        // reverse cumsum within the cell
+        std::fill(acc.begin(), acc.end(), 0.0);
+        int64_t hi = std::min((c + 1) * cell, T);
+        for (int64_t t = hi - 1; t >= c * cell; --t) {
+            for (int64_t d = 0; d < dim; ++d) {
+                double x = (double)data[t * dim + d];
+                acc[2 * d] += x;
+                acc[2 * d + 1] += x * x;
+                r[(t * dim + d) * 2] = (float)acc[2 * d];
+                r[(t * dim + d) * 2 + 1] = (float)acc[2 * d + 1];
+            }
+        }
+    }
+    // q2: inclusive prefixes over cell totals (recomputed forward)
+    for (int64_t c = 0; c < n_cells; ++c) {
+        int64_t lo = c * cell, hi = std::min((c + 1) * cell, T);
+        for (int64_t t = lo; t < hi; ++t) {
+            for (int64_t d = 0; d < dim; ++d) {
+                double x = (double)data[t * dim + d];
+                cell_prefix[2 * d] += x;
+                cell_prefix[2 * d + 1] += x * x;
+            }
+        }
+        for (int64_t d = 0; d < dim * 2; ++d)
+            q2[c * dim * 2 + d] = cell_prefix[d];
+    }
+    for (int64_t d = 0; d < dim * 2; ++d)
+        q2[n_cells * dim * 2 + d] = cell_prefix[d];
+}
+
+}  // extern "C"

@@ -1,0 +1,132 @@
+"""Sharded (8 virtual CPU devices) vs single-device equivalence.
+
+Deterministic parts — block boundaries, sizes, counts — must match the
+single-device engine exactly; posterior marginals must agree within
+Monte-Carlo error (SURVEY.md §4c)."""
+
+import numpy as np
+import jax
+import pytest
+
+from hammlet_tpu.io.records import Records
+from hammlet_tpu.parallel.mesh import position_mesh
+from hammlet_tpu.parallel.sharded import make_sharded_engine
+from hammlet_tpu.runner import make_engine
+
+
+def synth(T=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    means = [0.0, 5.0, -5.0]
+    out, states = [], []
+    t = 0
+    while t < T:
+        n = min(int(rng.integers(120, 400)), T - t)
+        s = int(rng.integers(0, 3))
+        out.append(rng.normal(means[s], 1.0, size=n))
+        states.extend([s] * n)
+        t += n
+    return np.concatenate(out).astype(np.float32), np.array(states)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return position_mesh(8)
+
+
+def test_block_structure_matches_single_device(mesh8, tmp_path):
+    data, _ = synth(T=2777, seed=3)
+    e1 = make_engine(data, nr_params=3, seed=11)
+    e2 = make_sharded_engine(data, mesh=mesh8, nr_params=3, seed=11)
+
+    # same seed => identical initial model => identical thresholds
+    np.testing.assert_allclose(
+        np.asarray(e1.model.theta_var), np.asarray(e2.model.theta_var), rtol=1e-6
+    )
+
+    e1._one_sweep("F", do_record=False)
+    e2._one_sweep("F", do_record=False)
+
+    # reconstruct single-device block sizes for the SAME initial threshold by
+    # rerunning one sweep; both engines saw identical thresholds, so the
+    # block partitions must be identical
+    # (fetch from the outputs of the sweep that just ran)
+    # single-device: recompute directly
+    import jax.numpy as jnp
+    from hammlet_tpu.ops.blocks import make_blocks
+
+    thr = float(
+        np.sqrt(2 * np.log(e1.ing.T) * float(np.asarray(e1.model.theta_var).min()))
+    )  # not used; kept for clarity
+
+    # run one more sweep on both and compare the emitted block partitions
+    rec1 = Records(
+        len(data), str(tmp_path / "a-"), ".csv", 3,
+        outputs={"blocks", "sequences", "compression", "marginals"},
+        overwrite=True,
+    )
+    rec2 = Records(
+        len(data), str(tmp_path / "b-"), ".csv", 3,
+        outputs={"blocks", "sequences", "compression", "marginals"},
+        overwrite=True,
+    )
+    e1.records = rec1
+    e2.records = rec2
+    # force identical models (and thus thresholds) before the recorded sweep
+    e2.model = jax.device_put(e1.model)
+    e1._one_sweep("F", do_record=True)
+    e2._one_sweep("F", do_record=True)
+    rec1.close()
+    rec2.close()
+
+    b1 = (tmp_path / "a-blocks.csv").read_text().split("\t")
+    b2 = (tmp_path / "b-blocks.csv").read_text().split("\t")
+    assert [int(x) for x in b1] == [int(x) for x in b2]
+
+
+def test_sharded_marginals_match_unsharded(mesh8, tmp_path):
+    data, true_states = synth(T=3000, seed=7)
+    T = len(data)
+
+    rec1 = Records(T, str(tmp_path / "u-"), ".csv", 3, overwrite=True)
+    e1 = make_engine(data, nr_params=3, seed=5, records=rec1)
+    e1.run_scheme("M 40 0 F 40 0 F 60 3".split())
+    e1.finalize()
+
+    rec2 = Records(T, str(tmp_path / "s-"), ".csv", 3, overwrite=True)
+    e2 = make_sharded_engine(data, mesh=mesh8, nr_params=3, seed=5, records=rec2)
+    e2.run_scheme("M 40 0 F 40 0 F 60 3".split())
+    e2.finalize()
+
+    def marg(path):
+        rows = [
+            list(map(int, l.split("\t"))) for l in open(path).read().splitlines()
+        ]
+        pos = np.zeros((T, 3))
+        t = 0
+        for r in rows:
+            pos[t : t + r[0], : len(r) - 1] = r[1:]
+            t += r[0]
+        assert t == T
+        return pos / pos.sum(axis=1, keepdims=True)
+
+    m1 = marg(tmp_path / "u-marginals.csv")
+    m2 = marg(tmp_path / "s-marginals.csv")
+    from itertools import permutations
+
+    best = min(
+        np.abs(m1 - m2[:, list(p)]).mean() for p in permutations(range(3))
+    )
+    assert best < 0.06, best
+
+
+def test_sharded_count_invariants(mesh8):
+    data, _ = synth(T=2048, seed=1)
+    e = make_sharded_engine(data, mesh=mesh8, nr_params=3, seed=2)
+    e.run_scheme("M 10 0 F 10 1".split())
+    counts = np.asarray(e.counts)[: e.T]
+    assert (counts.sum(axis=1) == 10).all()
+    assert int(np.asarray(e.n_rec)) == 10
+    # padding rows untouched
+    pad = np.asarray(e.counts)[e.T :]
+    assert (pad == 0).all()
