@@ -19,8 +19,8 @@ import time
 
 import numpy as np
 
-T = 4_000_000
-SWEEPS = 200
+T = int(os.environ.get("HAMMLET_BENCH_T", 4_000_000))
+SWEEPS = int(os.environ.get("HAMMLET_BENCH_SWEEPS", 200))
 THIN = 5
 REF_BIN = "/tmp/hammlet_ref/hammlet"
 DATA_FILE = f"/tmp/hammlet_bench/data_{T}.csv"
@@ -42,7 +42,12 @@ def ensure_data():
         os.makedirs(os.path.dirname(DATA_FILE), exist_ok=True)
         data = synth(T)
         np.savetxt(DATA_FILE, data, fmt="%.5f")
-    return np.loadtxt(DATA_FILE, dtype=np.float32)
+    from hammlet_tpu import native
+
+    vals = native.parse_file(DATA_FILE) if native.available() else None
+    if vals is None:
+        vals = np.loadtxt(DATA_FILE, dtype=np.float32)
+    return vals
 
 
 def bench_ours(data):
