@@ -52,7 +52,9 @@ def ensure_data():
 
 def bench_ours(data):
     from hammlet_tpu.io.records import Records
-    from hammlet_tpu.runner import make_engine
+    from hammlet_tpu.runner import enable_compilation_cache, make_engine
+
+    enable_compilation_cache()
 
     out = "/tmp/hammlet_bench/tpu-"
     rec = Records(len(data), out, ".csv", 3, overwrite=True)

@@ -109,6 +109,10 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run(args: dict[str, list[str]]) -> int:
+    from hammlet_tpu.runner import enable_compilation_cache
+
+    enable_compilation_cache()
+
     def get(flag: str) -> list[str]:
         v = args.get(flag)
         return v if v else _DEFAULTS.get(flag, [])

@@ -53,6 +53,33 @@ def nig_autoprior(s2: float, p: float, data_mean: float, data_var: float) -> np.
     return out
 
 
+def autoprior_host(
+    s2: float,
+    p: float,
+    data: np.ndarray,
+    weights: np.ndarray,
+    noise_std: float,
+) -> np.ndarray:
+    """Host-side auto-prior (one-time O(T) NumPy; avoids device compiles at
+    setup). Same math as ``autoprior``."""
+    data = np.asarray(data, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[:, None]
+    T = data.shape[0]
+    thr = np.float32(np.sqrt(2.0 * np.log(float(T))) * noise_std)
+    starts = np.flatnonzero(np.asarray(weights) >= thr)
+    if len(starts) == 0 or starts[0] != 0:
+        starts = np.concatenate([[0], starts])
+    ends = np.concatenate([starts[1:], [T]])
+    sums = np.add.reduceat(data, starts, axis=0)
+    sizes = (ends - starts)[:, None]
+    means = (sums / sizes).ravel()
+    n = means.size
+    mean = means.sum() / n
+    var = (means * means).sum() / n - mean * mean
+    return nig_autoprior(s2, p, float(mean), float(var))
+
+
 def autoprior(
     s2: float,
     p: float,

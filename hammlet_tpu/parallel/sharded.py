@@ -46,7 +46,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from hammlet_tpu.io.records import Records
-from hammlet_tpu.models.autopriors import autoprior, noise_std_estimate
+from hammlet_tpu.models.autopriors import autoprior_host, noise_std_estimate
 from hammlet_tpu.models.hmm import (
     HMMPriors,
     HMMState,
@@ -558,9 +558,9 @@ def make_sharded_engine(
     cell = 1 << cell_bits
     T_pad = T_local * n_shards
 
-    coeffs = maxlet_transform(jnp.asarray(data))
-    noise = noise_std_estimate(np.asarray(coeffs))
-    weights = np.asarray(breakpoint_weights(coeffs))
+    from hammlet_tpu.runner import host_transform
+
+    _, noise, weights = host_transform(data)
     if weight_multiplier != 1.0:
         weights = weights * np.float32(weight_multiplier)
     w_pad = np.full(T_pad, -np.inf, dtype=np.float32)
@@ -574,9 +574,7 @@ def make_sharded_engine(
 
     spec = ModelSpec(nr_params, nr_data_dim, use_self_transitions)
     thr0 = np.sqrt(2 * np.log(float(T))) * noise
-    ap_cap = int((weights >= thr0).sum()) + 8
-    prefix_T = build_prefix_stats(data)
-    nig_row = autoprior(s2, p, jnp.asarray(weights), prefix_T, noise, ap_cap)
+    nig_row = autoprior_host(s2, p, data, weights, noise)
     nig = np.tile(nig_row, (nr_params, 1))
     priors = HMMPriors.create(nig, spec.nr_states, trans, self_trans, initial_alpha)
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from hammlet_tpu.io.records import Records
-from hammlet_tpu.models.autopriors import autoprior, noise_std_estimate
+from hammlet_tpu.models.autopriors import autoprior_host, noise_std_estimate
 from hammlet_tpu.models.hmm import (
     HMMPriors,
     HMMState,
@@ -66,6 +66,26 @@ def parse_scheme(tokens: list[str]) -> list[tuple]:
     return ops
 
 
+#: sweeps per compiled scan chunk — phases run as repeats of one compiled
+#: program (+ one remainder size) to minimize XLA compiles
+PHASE_CHUNK = 32
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist XLA compilations across processes (helps enormously on
+    remote-compile TPU setups)."""
+    import os
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _round_capacity(n: int) -> int:
     """Round a block count up to the next capacity bucket (1.5x growth from
     powers of two) to bound recompilations."""
@@ -80,6 +100,7 @@ class Ingest:
     """Device-resident preprocessed data."""
 
     weights: jax.Array  # (T,) float32 breakpoint weights (post multiplier)
+    weights_host: np.ndarray  # host copy (capacity estimation, autopriors)
     prefix: object  # PrefixStats
     coeffs_host: np.ndarray  # (T,) maxlet coefficients (for noise estimate)
     noise_std: float
@@ -87,22 +108,38 @@ class Ingest:
     dim: int
 
 
+def host_transform(data: np.ndarray) -> tuple[np.ndarray, float, np.ndarray]:
+    """(coeffs, noise_std, weights) on the host — native C++ when built,
+    else the JAX kernels (bit-identical either way)."""
+    from hammlet_tpu import native
+
+    if native.available():
+        coeffs = native.maxlet(data)
+        noise = native.noise_std(coeffs)
+        weights = native.breakpoint_weights(coeffs)
+    else:
+        coeffs_dev = maxlet_transform(jnp.asarray(data))
+        coeffs = np.asarray(coeffs_dev)
+        noise = noise_std_estimate(coeffs)
+        weights = np.asarray(breakpoint_weights(coeffs_dev))
+    return coeffs, noise, weights
+
+
 def ingest(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
     """maxlet transform -> noise estimate -> breakpoint weights -> prefix
-    sums (main.cpp:277-344)."""
+    sums (main.cpp:277-344). Runs on the host (one-time O(T)); only the
+    final device arrays are uploaded."""
     data = np.asarray(data, dtype=np.float32)
     if data.ndim == 1:
         data = data[:, None]
     T, dim = data.shape
-    coeffs = maxlet_transform(jnp.asarray(data))
-    coeffs_host = np.asarray(coeffs)
-    noise = noise_std_estimate(coeffs_host)
-    weights = breakpoint_weights(coeffs)
+    coeffs_host, noise, weights_host = host_transform(data)
     if weight_multiplier != 1.0:
-        weights = weights * jnp.float32(weight_multiplier)
+        weights_host = weights_host * np.float32(weight_multiplier)
     prefix = build_prefix_stats(data)
     return Ingest(
-        weights=weights,
+        weights=jnp.asarray(weights_host),
+        weights_host=weights_host,
         prefix=prefix,
         coeffs_host=coeffs_host,
         noise_std=noise,
@@ -148,7 +185,7 @@ class Engine:
                     * float(jnp.min(self.model.theta_var))
                 )
             )
-            nb = int(np.asarray(jnp.sum(self.ing.weights >= thr)))
+            nb = int((self.ing.weights_host >= np.float32(thr)).sum())
             self.capacity = min(self.ing.T, _round_capacity(2 * nb + 64))
 
     def _next_key(self) -> jax.Array:
@@ -191,44 +228,54 @@ class Engine:
         self.total_sweeps += iterations
 
     def _run_phase_scanned(self, method: str, iterations: int, thinning: int) -> None:
-        key = self._next_key()
         recording = thinning > 0
-        while True:
-            # snapshot buffers so an overflow replay cannot double-record
-            backup = (
-                jax.tree.map(jnp.copy, self.buffers) if recording else None
-            )
-            model, buffers, nbs, means, varis = gibbs_phase(
-                key,
-                self.model,
-                self.priors,
-                self.ing.weights,
-                self.ing.prefix,
-                self.buffers,
-                jnp.int32(thinning),
-                jnp.asarray(self._dynamic),
-                self._static_threshold,
-                method=method,
-                capacity=self.capacity,
-                spec_nr_params=self.spec.nr_params,
-                mapping_tuple=self._mapping_tuple,
-                use_self_transitions=self.spec.use_self_transitions,
-                n_iters=iterations,
-            )
-            max_nb = int(np.asarray(jnp.max(nbs)))
-            if max_nb <= self.capacity:
-                self.model, self.buffers = model, buffers
-                break
-            self.capacity = min(self.ing.T, _round_capacity(2 * max_nb))
-            self.buffers = backup if backup is not None else buffers
-        if self.records is not None and recording:
-            means_h = np.asarray(means)
-            varis_h = np.asarray(varis)
-            nbs_h = np.asarray(nbs)
-            for i in range(iterations):
-                if (i + 1) % thinning == 0:
-                    self.records.record_compression(int(nbs_h[i]))
-                    self.records.record_theta(means_h[i], varis_h[i])
+        done = 0
+        while done < iterations:
+            n = min(PHASE_CHUNK, iterations - done)
+            key = self._next_key()
+            while True:
+                # snapshot buffers so an overflow replay cannot double-record
+                backup = (
+                    jax.tree.map(jnp.copy, self.buffers) if recording else None
+                )
+                model, buffers, nbs, means, varis = gibbs_phase(
+                    key,
+                    self.model,
+                    self.priors,
+                    self.ing.weights,
+                    self.ing.prefix,
+                    self.buffers,
+                    jnp.int32(thinning),
+                    jnp.asarray(self._dynamic),
+                    self._static_threshold,
+                    jnp.int32(done),
+                    method=method,
+                    capacity=self.capacity,
+                    spec_nr_params=self.spec.nr_params,
+                    mapping_tuple=self._mapping_tuple,
+                    use_self_transitions=self.spec.use_self_transitions,
+                    n_iters=n,
+                )
+                max_nb = int(np.asarray(jnp.max(nbs)))
+                if max_nb <= self.capacity:
+                    self.model, self.buffers = model, buffers
+                    break
+                self.capacity = min(self.ing.T, _round_capacity(2 * max_nb))
+                self.buffers = backup if backup is not None else buffers
+            if self.records is not None and recording:
+                means_h = np.asarray(means)
+                varis_h = np.asarray(varis)
+                nbs_h = np.asarray(nbs)
+                for i in range(n):
+                    if (done + i + 1) % thinning == 0:
+                        self.records.record_compression(int(nbs_h[i]))
+                        self.records.record_theta(means_h[i], varis_h[i])
+            done += n
+            # the block count drops sharply after burn-in; shrink the
+            # compiled capacity to track it (grows back via replay if needed)
+            target = min(self.ing.T, _round_capacity(max_nb + max_nb // 2 + 64))
+            if target < self.capacity:
+                self.capacity = target
 
     def _one_sweep(self, method: str, do_record: bool) -> None:
         key = self._next_key()
@@ -321,17 +368,7 @@ def make_engine(
     reference implements, main.cpp:204-215)."""
     ing = ingest(data, weight_multiplier)
     spec = ModelSpec(nr_params, nr_data_dim, use_self_transitions)
-    ap_capacity = int(
-        np.asarray(
-            jnp.sum(
-                ing.weights
-                >= jnp.float32(np.sqrt(2 * np.log(float(ing.T))) * ing.noise_std)
-            )
-        )
-    )
-    nig_row = autoprior(
-        s2, p, ing.weights, ing.prefix, ing.noise_std, max(8, ap_capacity + 8)
-    )
+    nig_row = autoprior_host(s2, p, data, ing.weights_host, ing.noise_std)
     nig = np.tile(nig_row, (nr_params, 1))
     priors = HMMPriors.create(
         nig, spec.nr_states, trans, self_trans, initial_alpha

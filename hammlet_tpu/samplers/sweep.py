@@ -222,6 +222,7 @@ def gibbs_phase(
     thinning: jax.Array,  # () int32 (0 = never record)
     use_dynamic: jax.Array,
     static_threshold: jax.Array,
+    offset: jax.Array,  # () int32 phase-relative index of the first sweep
     *,
     method: str,
     capacity: int,
@@ -230,10 +231,12 @@ def gibbs_phase(
     use_self_transitions: bool,
     n_iters: int,
 ) -> tuple[HMMState, RecordBuffers, jax.Array, jax.Array, jax.Array]:
-    """A whole F/M phase as one on-device lax.scan — no host round-trips.
+    """n_iters Gibbs sweeps as one on-device lax.scan — no host round-trips.
 
-    Per-sweep RNG keys are fold_in(key, i), so the driver can replay the
-    identical phase at a larger capacity after an overflow. Returns
+    Phases run as chunks of a fixed n_iters so one compiled program is
+    reused; ``offset`` keeps the record-thinning pattern aligned with the
+    phase. Per-sweep RNG keys are fold_in(key, i), so the driver can replay
+    an identical chunk at a larger capacity after an overflow. Returns
     (model, buffers, n_blocks_per_sweep, theta_means, theta_vars); the last
     two are stacked per sweep for the parameters record stream.
     """
@@ -242,7 +245,9 @@ def gibbs_phase(
     def body(carry, i):
         model, buffers = carry
         k = jax.random.fold_in(key, i)
-        do_record = (thinning > 0) & (((i + 1) % jnp.maximum(thinning, 1)) == 0)
+        do_record = (thinning > 0) & (
+            ((offset + i + 1) % jnp.maximum(thinning, 1)) == 0
+        )
         new_model, new_buffers, outputs = _sweep_core(
             k, model, priors, weights, prefix, buffers, do_record,
             use_dynamic, static_threshold,
