@@ -20,8 +20,9 @@ import time
 import numpy as np
 
 T = int(os.environ.get("HAMMLET_BENCH_T", 4_000_000))
-SWEEPS = int(os.environ.get("HAMMLET_BENCH_SWEEPS", 200))
-THIN = 5
+SWEEPS = int(os.environ.get("HAMMLET_BENCH_SWEEPS", 192))
+BURNIN = int(os.environ.get("HAMMLET_BENCH_BURNIN", 100))
+THIN = 4
 REF_BIN = "/tmp/hammlet_ref/hammlet"
 DATA_FILE = f"/tmp/hammlet_bench/data_{T}.csv"
 
@@ -59,7 +60,8 @@ def bench_ours(data):
     out = "/tmp/hammlet_bench/tpu-"
     rec = Records(len(data), out, ".csv", 3, overwrite=True)
     eng = make_engine(data, nr_params=3, seed=0, records=rec)
-    eng.run("F", 3, 0)  # warmup: compile + first sweeps
+    eng.run("M", BURNIN, 0)  # burn-in (reference default scheme starts with M)
+    eng.run("F", 32, THIN)  # compile the F chunk at the converged capacity
     eng.total_sweeps = 0.0
     eng.sample_time = 0.0
     eng.run("F", SWEEPS, THIN)
@@ -87,7 +89,7 @@ def bench_reference(data):
         subprocess.run(
             [REF_BIN, "-f", DATA_FILE, "-s", "3", "-a", "-R", "0",
              "-o", out, ".csv", "-O", "marginals",
-             "-i", "F", str(n_sweeps), str(THIN), "-w"],
+             "-i", "M", str(BURNIN), "0", "F", str(n_sweeps), str(THIN), "-w"],
             check=True, capture_output=True,
         )
         return time.time() - t0
@@ -107,7 +109,7 @@ def main():
         json.dumps(
             {
                 "metric": f"FB-Gibbs sweeps/s ({T/1e6:.0f}M positions, "
-                "3 states, dynamic compression, marginals thin=5)",
+                "3 states, dynamic compression, marginals thin=4)",
                 "value": round(ours, 3),
                 "unit": "sweeps/s",
                 "vs_baseline": round(vs, 3) if vs else None,

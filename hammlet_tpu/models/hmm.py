@@ -83,6 +83,7 @@ class HMMState(NamedTuple):
         ).astype(jnp.float32)
 
 
+@jax.jit
 def sample_from_priors(key: jax.Array, priors: HMMPriors) -> HMMState:
     """Draw a full model state from the prior (the reference's 'P' token /
     initial sampling, main.cpp:397-400)."""

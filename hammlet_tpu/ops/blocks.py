@@ -132,6 +132,48 @@ def make_blocks(weights: jax.Array, threshold: jax.Array, capacity: int) -> Bloc
     return BlockStructure(starts, ends, ends - starts, n_blocks)
 
 
+class RankedWeights(NamedTuple):
+    """Positions pre-sorted by breakpoint weight (descending), built once at
+    ingest. Turns per-sweep block extraction from O(T) masking into an
+    O(log T) count + O(capacity log capacity) sort — independent of T.
+
+    neg_w_sorted: (T,) float32 — ascending sort of -weights
+    pos_by_rank:  (T,) int32   — position of the rank-r largest weight;
+                  ties broken by position (stable), which cannot affect the
+                  boundary set (all ties enter together)
+    T: () int32 marker is implicit via array length
+    """
+
+    neg_w_sorted: jax.Array
+    pos_by_rank: jax.Array
+
+
+def build_ranked_weights(weights: np.ndarray) -> RankedWeights:
+    w = np.asarray(weights, dtype=np.float32)
+    order = np.argsort(-w, kind="stable")
+    return RankedWeights(
+        neg_w_sorted=jnp.asarray((-w[order]).astype(np.float32)),
+        pos_by_rank=jnp.asarray(order.astype(np.int32)),
+    )
+
+
+def make_blocks_ranked(
+    ranked: RankedWeights, threshold: jax.Array, capacity: int
+) -> BlockStructure:
+    """Identical block structure to ``make_blocks`` but in O(capacity)
+    per-sweep work: boundary count via binary search on the sorted weights,
+    boundary positions = sort of the top-count ranked positions."""
+    T = ranked.pos_by_rank.shape[0]
+    n_blocks = jnp.searchsorted(
+        ranked.neg_w_sorted, -threshold, side="right"
+    ).astype(jnp.int32)
+    cand = ranked.pos_by_rank[:capacity]
+    starts = jnp.where(jnp.arange(capacity) < n_blocks, cand, T)
+    starts = jnp.sort(starts).astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), T, dtype=jnp.int32)])
+    return BlockStructure(starts, ends, ends - starts, n_blocks)
+
+
 def block_sufficient_stats(
     prefix: PrefixStats, blocks: BlockStructure, cell_bits: int = CELL_BITS
 ) -> jax.Array:

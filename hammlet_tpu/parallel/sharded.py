@@ -60,8 +60,9 @@ from hammlet_tpu.ops.blocks import build_prefix_stats
 from hammlet_tpu.ops.wavelet import breakpoint_weights, maxlet_transform
 from hammlet_tpu.parallel.mesh import POS_AXIS, position_mesh
 from hammlet_tpu.samplers.forward_backward import (
-    _compose_maps_rev,
     _scaled_matmul,
+    prefix_matmul_scan,
+    suffix_compose_scan,
 )
 from hammlet_tpu.samplers.sweep import accumulate_sweep_stats
 
@@ -180,7 +181,7 @@ def _sharded_sweep_body(
             valid_b[:, None, None], M, jnp.eye(K, dtype=M.dtype)[None]
         )
 
-        L = jax.lax.associative_scan(_scaled_matmul, M, axis=0)
+        L = prefix_matmul_scan(M)
         tots_all = jax.lax.all_gather(L[-1], POS_AXIS)  # (P, K, K)
 
         pre = jax.lax.fori_loop(
@@ -234,9 +235,7 @@ def _sharded_sweep_body(
         use_pred = valid_b[:, None] & (~is_global_last[:, None])
         maps = jnp.where(use_pred, pred, ident)
 
-        r_suffix = jax.lax.associative_scan(
-            _compose_maps_rev, maps, axis=0, reverse=True
-        )
+        r_suffix = suffix_compose_scan(maps)
         tmaps_all = jax.lax.all_gather(r_suffix[0], POS_AXIS)  # (P, K)
 
         after = jax.lax.fori_loop(

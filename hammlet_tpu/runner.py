@@ -28,7 +28,7 @@ from hammlet_tpu.models.hmm import (
     ModelSpec,
     sample_from_priors,
 )
-from hammlet_tpu.ops.blocks import build_prefix_stats
+from hammlet_tpu.ops.blocks import build_prefix_stats, build_ranked_weights
 from hammlet_tpu.ops.wavelet import breakpoint_weights, maxlet_transform
 from hammlet_tpu.samplers.sweep import RecordBuffers, gibbs_phase, gibbs_sweep
 
@@ -87,11 +87,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
 
 def _round_capacity(n: int) -> int:
-    """Round a block count up to the next capacity bucket (1.5x growth from
-    powers of two) to bound recompilations."""
-    cap = 64
+    """Round a block count up to the next capacity bucket (~1.5x growth,
+    multiples of 128 so the blocked scans engage) to bound recompilations."""
+    cap = 128
     while cap < n:
-        cap = cap * 3 // 2 if cap % 2 == 0 else cap * 2
+        cap = ((cap * 3 // 2) + 127) // 128 * 128
     return cap
 
 
@@ -101,6 +101,7 @@ class Ingest:
 
     weights: jax.Array  # (T,) float32 breakpoint weights (post multiplier)
     weights_host: np.ndarray  # host copy (capacity estimation, autopriors)
+    ranked: object  # RankedWeights — positions pre-sorted by weight
     prefix: object  # PrefixStats
     coeffs_host: np.ndarray  # (T,) maxlet coefficients (for noise estimate)
     noise_std: float
@@ -140,6 +141,7 @@ def ingest(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
     return Ingest(
         weights=jnp.asarray(weights_host),
         weights_host=weights_host,
+        ranked=build_ranked_weights(weights_host),
         prefix=prefix,
         coeffs_host=coeffs_host,
         noise_std=noise,
@@ -182,7 +184,7 @@ class Engine:
                 np.sqrt(
                     2.0
                     * np.log(max(2.0, float(self.ing.T)))
-                    * float(jnp.min(self.model.theta_var))
+                    * float(np.asarray(self.model.theta_var).min())
                 )
             )
             nb = int((self.ing.weights_host >= np.float32(thr)).sum())
@@ -242,7 +244,7 @@ class Engine:
                     key,
                     self.model,
                     self.priors,
-                    self.ing.weights,
+                    self.ing.ranked,
                     self.ing.prefix,
                     self.buffers,
                     jnp.int32(thinning),
@@ -284,7 +286,7 @@ class Engine:
                 key,
                 self.model,
                 self.priors,
-                self.ing.weights,
+                self.ing.ranked,
                 self.ing.prefix,
                 self.buffers,
                 jnp.asarray(do_record),

@@ -61,6 +61,60 @@ def _compose_maps_rev(later: jax.Array, earlier: jax.Array) -> jax.Array:
     return jnp.take_along_axis(earlier, later, axis=-1)
 
 
+#: group size for the two-level blocked scans: associative within groups
+#: (vectorized, log-depth), lax.scan across group totals (one compiled body).
+#: Keeps XLA graph size independent of the block capacity.
+_GROUP = 128
+
+
+def prefix_matmul_scan(M: jax.Array) -> jax.Array:
+    """Inclusive prefix products of (B, K, K) matrices under the rescaling
+    combine. Blocked two-level formulation when B is a multiple of _GROUP."""
+    B, K, _ = M.shape
+    if B <= _GROUP or B % _GROUP:
+        return jax.lax.associative_scan(_scaled_matmul, M, axis=0)
+    G = B // _GROUP
+    x = M.reshape(G, _GROUP, K, K)
+    local = jax.lax.associative_scan(_scaled_matmul, x, axis=1)
+    totals = local[:, -1]  # (G, K, K)
+
+    def step(carry, tot):
+        return _scaled_matmul(carry, tot), carry  # exclusive prefix
+
+    _, pre = jax.lax.scan(step, jnp.eye(K, dtype=M.dtype), totals)
+    return _scaled_matmul(pre[:, None], local).reshape(B, K, K)
+
+
+def suffix_compose_scan(maps: jax.Array) -> jax.Array:
+    """Suffix compositions r_b = m_b ∘ m_{b+1} ∘ ... ∘ m_{B-1} of (B, K)
+    index maps. Blocked two-level formulation when B is a multiple of
+    _GROUP."""
+    B, K = maps.shape
+    if B <= _GROUP or B % _GROUP:
+        return jax.lax.associative_scan(
+            _compose_maps_rev, maps, axis=0, reverse=True
+        )
+    G = B // _GROUP
+    x = maps.reshape(G, _GROUP, K)
+    local = jax.lax.associative_scan(
+        _compose_maps_rev, x, axis=1, reverse=True
+    )
+    totals = local[:, 0]  # (G, K): whole-group compositions
+
+    def step(carry, tot):
+        # carry = suffix of groups after g; emit it, then prepend group g
+        return tot[carry], carry
+
+    _, after_rev = jax.lax.scan(
+        step, jnp.arange(K, dtype=maps.dtype), totals[::-1]
+    )
+    after = after_rev[::-1]  # (G, K)
+    r = jnp.take_along_axis(
+        local, jnp.broadcast_to(after[:, None, :], local.shape), axis=-1
+    )
+    return r.reshape(B, K)
+
+
 def forward_columns(
     log_e: jax.Array,
     sizes: jax.Array,
@@ -90,7 +144,7 @@ def forward_columns(
     # per-block transition matrix; identity for padded blocks
     M = A[None, :, :] * e[:, None, :]  # (B, K, K)
     M = jnp.where(valid[:, :, None], M, jnp.eye(K, dtype=M.dtype)[None])
-    P = jax.lax.associative_scan(_scaled_matmul, M, axis=0)  # (B, K, K)
+    P = prefix_matmul_scan(M)  # (B, K, K)
     alpha = jnp.einsum("i,bij->bj", pi, P, preferred_element_type=jnp.float32)
     alpha = alpha / jnp.maximum(
         jnp.sum(alpha, axis=1, keepdims=True), jnp.float32(1e-35)
@@ -136,7 +190,7 @@ def backward_sample(
     maps = jnp.where(use_pred, pred, ident)
 
     # suffix composition: r_b = m_b ∘ m_{b+1} ∘ ... ∘ m_{B-1}
-    r = jax.lax.associative_scan(_compose_maps_rev, maps, axis=0, reverse=True)
+    r = suffix_compose_scan(maps)
     return jnp.take(r, z_last, axis=1).astype(jnp.int32)
 
 

@@ -29,8 +29,9 @@ from hammlet_tpu.models.hmm import (
 )
 from hammlet_tpu.ops.blocks import (
     PrefixStats,
+    RankedWeights,
     block_sufficient_stats,
-    make_blocks,
+    make_blocks_ranked,
 )
 from hammlet_tpu.samplers.forward_backward import fb_sample_states
 from hammlet_tpu.samplers.mixture import mixture_sample_states
@@ -155,7 +156,7 @@ def _sweep_core(
     key,
     model: HMMState,
     priors: HMMPriors,
-    weights,
+    ranked: RankedWeights,
     prefix: PrefixStats,
     buffers: RecordBuffers,
     do_record,
@@ -170,9 +171,9 @@ def _sweep_core(
 ):
     """Shared sweep body used by both the per-sweep and the scanned phase
     entry points."""
-    T = weights.shape[0]
+    T = ranked.pos_by_rank.shape[0]
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
-    blocks = make_blocks(weights, thr, capacity)
+    blocks = make_blocks_ranked(ranked, thr, capacity)
     bstats = block_sufficient_stats(prefix, blocks)
 
     k_states, k_model = jax.random.split(key)
@@ -216,7 +217,7 @@ def gibbs_phase(
     key: jax.Array,
     model: HMMState,
     priors: HMMPriors,
-    weights: jax.Array,
+    ranked: RankedWeights,
     prefix: PrefixStats,
     buffers: RecordBuffers,
     thinning: jax.Array,  # () int32 (0 = never record)
@@ -249,7 +250,7 @@ def gibbs_phase(
             ((offset + i + 1) % jnp.maximum(thinning, 1)) == 0
         )
         new_model, new_buffers, outputs = _sweep_core(
-            k, model, priors, weights, prefix, buffers, do_record,
+            k, model, priors, ranked, prefix, buffers, do_record,
             use_dynamic, static_threshold,
             method=method, capacity=capacity,
             spec_nr_params=spec_nr_params, mapping=mapping,
@@ -274,7 +275,7 @@ def gibbs_sweep(
     key: jax.Array,
     model: HMMState,
     priors: HMMPriors,
-    weights: jax.Array,
+    ranked: RankedWeights,
     prefix: PrefixStats,
     buffers: RecordBuffers,
     do_record: jax.Array,  # () bool
@@ -290,7 +291,7 @@ def gibbs_sweep(
     """One full Gibbs iteration (HMM.hpp:99-121)."""
     mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
     return _sweep_core(
-        key, model, priors, weights, prefix, buffers, do_record,
+        key, model, priors, ranked, prefix, buffers, do_record,
         use_dynamic, static_threshold,
         method=method, capacity=capacity, spec_nr_params=spec_nr_params,
         mapping=mapping, use_self_transitions=use_self_transitions,

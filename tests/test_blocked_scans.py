@@ -1,0 +1,49 @@
+"""Blocked two-level scans equal the plain associative scans."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hammlet_tpu.samplers.forward_backward import (
+    _compose_maps_rev,
+    _scaled_matmul,
+    prefix_matmul_scan,
+    suffix_compose_scan,
+)
+
+
+def test_prefix_matmul_blocked_matches_plain():
+    rng = np.random.default_rng(0)
+    B, K = 512, 3  # multiple of the group size -> blocked path
+    M = jnp.asarray(rng.uniform(0.1, 1.0, size=(B, K, K)).astype(np.float32))
+    blocked = prefix_matmul_scan(M)
+    plain = jax.lax.associative_scan(_scaled_matmul, M, axis=0)
+    # rescaling differs per path; compare after row-normalizing pi @ P
+    pi = jnp.asarray(rng.dirichlet(np.ones(K)).astype(np.float32))
+    a1 = jnp.einsum("i,bij->bj", pi, blocked)
+    a2 = jnp.einsum("i,bij->bj", pi, plain)
+    a1 = a1 / a1.sum(axis=1, keepdims=True)
+    a2 = a2 / a2.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=5e-4, atol=1e-6)
+
+
+def test_suffix_compose_blocked_matches_plain():
+    rng = np.random.default_rng(1)
+    B, K = 640, 4
+    maps = jnp.asarray(rng.integers(0, K, size=(B, K)).astype(np.int32))
+    blocked = suffix_compose_scan(maps)
+    plain = jax.lax.associative_scan(_compose_maps_rev, maps, axis=0, reverse=True)
+    np.testing.assert_array_equal(np.asarray(blocked), np.asarray(plain))
+
+
+def test_suffix_compose_sequential_oracle():
+    rng = np.random.default_rng(2)
+    B, K = 384, 3
+    maps_np = rng.integers(0, K, size=(B, K)).astype(np.int32)
+    r = suffix_compose_scan(jnp.asarray(maps_np))
+    want = np.empty_like(maps_np)
+    acc = np.arange(K)
+    for b in range(B - 1, -1, -1):
+        acc = maps_np[b][acc]
+        want[b] = acc
+    np.testing.assert_array_equal(np.asarray(r), want)

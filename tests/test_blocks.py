@@ -77,3 +77,16 @@ def test_capacity_overflow_detectable():
     w = np.full(T, np.inf, dtype=np.float32)  # every position is a boundary
     blocks = make_blocks(jnp.asarray(w), jnp.float32(1.0), capacity=16)
     assert int(blocks.n_blocks) == T  # count is correct even when truncated
+
+
+def test_ranked_blocks_match_masked():
+    from hammlet_tpu.ops.blocks import build_ranked_weights, make_blocks_ranked
+
+    data, w = _setup(3000, seed=77)
+    ranked = build_ranked_weights(w)
+    for thr in [0.05, 0.7, 1.3, 2.9, 50.0, float(w[137])]:  # incl. exact tie
+        a = make_blocks(jnp.asarray(w), jnp.float32(thr), capacity=3000)
+        b = make_blocks_ranked(ranked, jnp.float32(thr), capacity=3000)
+        assert int(a.n_blocks) == int(b.n_blocks)
+        np.testing.assert_array_equal(np.asarray(a.starts), np.asarray(b.starts))
+        np.testing.assert_array_equal(np.asarray(a.sizes), np.asarray(b.sizes))
