@@ -183,6 +183,12 @@ def _run(args: dict[str, list[str]]) -> int:
         else:
             print("Reading from standard input")
 
+    # validate the sampling scheme before any file is created or data read
+    # (the reference checks -i tokens up front, main.cpp:367-377)
+    from hammlet_tpu.runner import parse_scheme
+
+    parse_scheme(get("-i"))
+
     data = read_values(args.get("-f"), nr_dim)
     T = data.shape[0]
     if verbose:

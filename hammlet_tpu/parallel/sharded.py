@@ -71,7 +71,8 @@ def _sharded_sweep_body(
     key,
     model: HMMState,
     priors: HMMPriors,
-    w_l,  # (T_local,) local breakpoint weights
+    negw_l,  # (T_local,) ascending sort of -weights, local to the shard
+    rank_l,  # (T_local,) local position of the rank-r largest local weight
     r_l,  # (T_local + 1,) local in-cell reverse prefix (extra right-edge row)
     q2_hi,  # (n_cells + 1, dim, 2) replicated
     q2_lo,
@@ -112,11 +113,13 @@ def _sharded_sweep_body(
 
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
 
-    # ---- local block boundaries -----------------------------------------
-    mask = w_l >= thr
-    nb_l = jnp.sum(mask, dtype=jnp.int32)
-    (lstarts,) = jnp.nonzero(mask, size=cap_local, fill_value=T_local)
-    gstarts = lstarts.astype(jnp.int32) + shard_start  # padded -> shard_end
+    # ---- local block boundaries (rank-based: O(cap_local) per sweep) ----
+    nb_l = jnp.searchsorted(negw_l, -thr, side="right").astype(jnp.int32)
+    cand = rank_l[:cap_local].astype(jnp.int32)
+    lstarts = jnp.sort(
+        jnp.where(jnp.arange(cap_local) < nb_l, cand, T_local)
+    )
+    gstarts = lstarts + shard_start  # padded -> shard_end
     bidx = jnp.arange(cap_local)
     valid_b = bidx < nb_l
     is_last_real = bidx == nb_l - 1
@@ -338,14 +341,14 @@ def build_sharded_sweep(
     sh = P(POS_AXIS)
     specs = dict(
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
+        in_specs=(rep, rep, rep, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
         out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
     )
     try:
         fn = shard_map(body, check_vma=False, **specs)
     except TypeError:  # pragma: no cover - older jax uses check_rep
         fn = shard_map(body, check_rep=False, **specs)
-    return jax.jit(fn, donate_argnums=(7, 8))
+    return jax.jit(fn, donate_argnums=(8, 9))
 
 
 @dataclass
@@ -359,7 +362,8 @@ class ShardedEngine:
     T: int
     T_local: int
     cell_bits: int
-    weights: jax.Array  # (T_pad,) sharded breakpoint weights
+    negw: jax.Array  # (T_pad,) sharded: per-shard ascending sort of -weights
+    rank: jax.Array  # (T_pad,) sharded: per-shard weight-rank -> local position
     r: jax.Array  # (P*(T_local+1),) sharded local R with right-edge rows
     q2_hi: jax.Array
     q2_lo: jax.Array
@@ -435,7 +439,8 @@ class ShardedEngine:
                 key,
                 self.model,
                 self.priors,
-                self.weights,
+                self.negw,
+                self.rank,
                 self.r,
                 self.q2_hi,
                 self.q2_lo,
@@ -577,9 +582,16 @@ def make_sharded_engine(
     nig = np.tile(nig_row, (nr_params, 1))
     priors = HMMPriors.create(nig, spec.nr_states, trans, self_trans, initial_alpha)
 
+    # per-shard rank structure: each shard's slice holds its own sorted list
+    w2 = w_pad.reshape(n_shards, T_local)
+    order = np.argsort(-w2, axis=1, kind="stable")
+    negw_local = (-np.take_along_axis(w2, order, axis=1)).reshape(-1)
+    rank_local = order.astype(np.int32).reshape(-1)
+
     shard = NamedSharding(mesh, P(POS_AXIS))
     rep = NamedSharding(mesh, P())
-    weights_dev = jax.device_put(jnp.asarray(w_pad), shard)
+    negw_dev = jax.device_put(jnp.asarray(negw_local), shard)
+    rank_dev = jax.device_put(jnp.asarray(rank_local), shard)
     r_dev = jax.device_put(jnp.asarray(r_local), shard)
     q2_hi = jax.device_put(prefix.q2_hi, rep)
     q2_lo = jax.device_put(prefix.q2_lo, rep)
@@ -596,7 +608,8 @@ def make_sharded_engine(
         T=T,
         T_local=T_local,
         cell_bits=cell_bits,
-        weights=weights_dev,
+        negw=negw_dev,
+        rank=rank_dev,
         r=r_dev,
         q2_hi=q2_hi,
         q2_lo=q2_lo,

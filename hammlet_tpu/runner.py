@@ -77,10 +77,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
     import os
 
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            path or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-        )
+        base = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+        # separate caches per backend: AOT results are machine-specific and a
+        # remote-compile TPU host may have a different CPU than this host
+        backend = jax.default_backend()
+        jax.config.update("jax_compilation_cache_dir", f"{base}/{backend}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
