@@ -162,10 +162,13 @@ class Engine:
     seed: int
     records: Records | None = None
     capacity: int | None = None
+    checkpoint_path: str | None = None
+    checkpoint_every: int = 0  # sweeps between checkpoints (0 = off)
 
     model: HMMState = field(init=False)
     buffers: RecordBuffers = field(init=False)
     sweep_counter: int = field(init=False, default=0)
+    sweeps_completed: int = field(init=False, default=0)
     total_sweeps: float = field(init=False, default=0.0)
     sample_time: float = field(init=False, default=0.0)
 
@@ -274,11 +277,22 @@ class Engine:
                         self.records.record_compression(int(nbs_h[i]))
                         self.records.record_theta(means_h[i], varis_h[i])
             done += n
+            self.sweeps_completed += n
             # the block count drops sharply after burn-in; shrink the
             # compiled capacity to track it (grows back via replay if needed)
             target = min(self.ing.T, _round_capacity(max_nb + max_nb // 2 + 64))
             if target < self.capacity:
                 self.capacity = target
+            self._maybe_checkpoint()
+
+    def _maybe_checkpoint(self) -> None:
+        if not self.checkpoint_path or self.checkpoint_every <= 0:
+            return
+        if self.sweeps_completed - getattr(self, "_last_ckpt", 0) >= self.checkpoint_every:
+            from hammlet_tpu.checkpoint import save_checkpoint
+
+            save_checkpoint(self, self.checkpoint_path)
+            self._last_ckpt = self.sweeps_completed
 
     def _one_sweep(self, method: str, do_record: bool) -> None:
         key = self._next_key()
@@ -308,6 +322,7 @@ class Engine:
                 break
             self.capacity = min(self.ing.T, _round_capacity(2 * n_blocks))
         self.model = new_model
+        self.sweeps_completed += 1
         if self.records is not None:
             if do_record and self.records.wants_block_level():
                 n_bound = None

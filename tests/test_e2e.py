@@ -179,3 +179,57 @@ def test_format_parity_with_reference(tmp_path, ref_binary):
     )
     # posterior marginals agree within Monte-Carlo error on average
     assert best < 0.08, best
+
+
+def test_multivariate_engine(tmp_path):
+    """-s C 2 2 equivalent: 2 emission params x 2 data dims -> 4 states
+    (main.cpp:117-137, Mapping.hpp:91-108)."""
+    rng = np.random.default_rng(11)
+    T = 1600
+    means = np.array([[0.0, 0.0], [0.0, 4.0], [4.0, 0.0], [4.0, 4.0]])
+    states = np.repeat(np.array([0, 1, 2, 3, 1, 0]), T // 6 + 1)[:T]
+    data = means[states] + rng.normal(0, 0.8, size=(T, 2))
+    rec = Records(T, str(tmp_path / "mv-"), ".csv", 4, overwrite=True)
+    eng = make_engine(
+        data.astype(np.float32), nr_params=2, nr_data_dim=2, seed=3, records=rec
+    )
+    assert eng.spec.nr_states == 4
+    eng.run_scheme("M 40 0 F 60 3".split())
+    eng.finalize()
+    rows = [
+        list(map(int, l.split("\t")))
+        for l in (tmp_path / "mv-marginals.csv").read_text().splitlines()
+    ]
+    assert sum(r[0] for r in rows) == T
+    # marginals have up to 4 state columns; recover the segmentation
+    pos = np.zeros(T, dtype=int)
+    t = 0
+    for r in rows:
+        c = r[1:] + [0] * (4 - len(r) + 1)
+        pos[t : t + r[0]] = int(np.argmax(c))
+        t += r[0]
+    agree = 0
+    for s in range(4):
+        m = pos == s
+        if m.sum():
+            agree += (states[m] == np.bincount(states[m], minlength=4).argmax()).sum()
+    assert agree / T > 0.95
+
+
+def test_static_scheme_freezes_blocks(tmp_path):
+    """The S token freezes the block structure: identical block lines every
+    recorded sweep (main.cpp:407-421; verified reference behavior,
+    SURVEY.md §7)."""
+    data, _, _ = synth_data(T=1500, seed=8)
+    rec = Records(
+        len(data), str(tmp_path / "st-"), ".csv", 3,
+        outputs={"blocks", "compression", "marginals"}, overwrite=True,
+    )
+    eng = make_engine(data, nr_params=3, seed=2, records=rec)
+    eng.run_scheme("M 30 0 S F 10 1".split())
+    eng.finalize()
+    lines = (tmp_path / "st-blocks.csv").read_text().splitlines()
+    assert len(lines) == 10
+    assert len(set(lines)) == 1  # frozen structure
+    comp = set((tmp_path / "st-compression.csv").read_text().split())
+    assert len(comp) == 1
