@@ -110,12 +110,29 @@ def resample_model(
 ) -> HMMState:
     """Conjugate posterior draws for theta, A, pi given sweep statistics
     (HMM.hpp:111-115: theta.sample, pi.sample, A.sample with posterior
-    reset)."""
-    k_theta, k_a, k_pi = jax.random.split(key, 3)
+    reset).
+
+    All Gamma variates (InvGamma for theta variances, Dirichlet rows for A
+    and pi) are drawn in ONE jax.random.gamma call — the rejection-sampling
+    loop is the latency hot spot of the model update on TPU."""
+    k_gamma, k_normal = jax.random.split(key)
     nig_post = dist.nig_update(
         priors.nig, stats.theta_sums, stats.theta_sumsqs, stats.theta_counts
     )
-    mean, var = dist.nig_sample(k_theta, nig_post)
-    A = dist.dirichlet_sample(k_a, priors.a_alphas + stats.trans_counts)
-    pi = dist.dirichlet_sample(k_pi, priors.pi_alphas + stats.state_counts)
+    P = nig_post.shape[0]
+    K = priors.pi_alphas.shape[0]
+    a_post = priors.a_alphas + stats.trans_counts
+    pi_post = priors.pi_alphas + stats.state_counts
+    alphas = jnp.concatenate(
+        [nig_post[:, 0], a_post.reshape(-1), pi_post]
+    )
+    g = jax.random.gamma(k_gamma, alphas)
+    var = nig_post[:, 1] / g[:P]
+    A_g = g[P : P + K * K].reshape(K, K)
+    A = A_g / jnp.sum(A_g, axis=1, keepdims=True)
+    pi_g = g[P + K * K :]
+    pi = pi_g / jnp.sum(pi_g)
+    mean = nig_post[:, 2] + jnp.sqrt(var / nig_post[:, 3]) * jax.random.normal(
+        k_normal, (P,)
+    )
     return HMMState(mean, var, A, pi)
