@@ -351,6 +351,71 @@ def build_sharded_sweep(
     return jax.jit(fn, donate_argnums=(8, 9))
 
 
+def build_sharded_phase(
+    mesh: Mesh,
+    *,
+    method: str,
+    cap_local: int,
+    T: int,
+    T_local: int,
+    cell_bits: int,
+    mapping_np: np.ndarray,
+    nr_params: int,
+    use_self_transitions: bool,
+    n_iters: int,
+):
+    """A whole chunk of sharded sweeps as one jitted lax.scan over the
+    shard_map'd sweep — no host round-trips inside a chunk (mirrors
+    samplers.sweep.gibbs_phase)."""
+    body = functools.partial(
+        _sharded_sweep_body,
+        method=method,
+        cap_local=cap_local,
+        T=T,
+        T_local=T_local,
+        cell_bits=cell_bits,
+        mapping_np=mapping_np,
+        nr_params=nr_params,
+        use_self_transitions=use_self_transitions,
+    )
+    rep = P()
+    sh = P(POS_AXIS)
+    specs = dict(
+        mesh=mesh,
+        in_specs=(rep, rep, rep, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
+        out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
+    )
+    try:
+        sweep = shard_map(body, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover
+        sweep = shard_map(body, check_rep=False, **specs)
+
+    def phase(
+        key, model, priors, negw, rank, r, q2_hi, q2_lo,
+        counts, everb, n_rec, thinning, use_dynamic, static_threshold, offset,
+    ):
+        def step(carry, i):
+            model, counts, everb, n_rec = carry
+            k = jax.random.fold_in(key, i)
+            do_rec = (thinning > 0) & (
+                ((offset + i + 1) % jnp.maximum(thinning, 1)) == 0
+            )
+            model, counts, everb, n_rec, _z, _sizes, nb, _thr = sweep(
+                k, model, priors, negw, rank, r, q2_hi, q2_lo,
+                counts, everb, n_rec, do_rec, use_dynamic, static_threshold,
+            )
+            return (model, counts, everb, n_rec), (
+                nb, model.theta_mean, model.theta_var
+            )
+
+        (model, counts, everb, n_rec), (nbs, means, varis) = jax.lax.scan(
+            step, (model, counts, everb, n_rec), jnp.arange(n_iters)
+        )
+        return model, counts, everb, n_rec, nbs, means, varis
+
+    return jax.jit(phase, donate_argnums=(8, 9))
+
+
 @dataclass
 class ShardedEngine:
     """Multi-device engine mirroring runner.Engine with position sharding."""
@@ -422,14 +487,92 @@ class ShardedEngine:
     def set_dynamic(self):
         self._dynamic = True
 
+    def _phase_fn(self, method: str, n_iters: int):
+        ck = ("phase", method, self.cap_local, n_iters)
+        if ck not in self._sweeps:
+            self._sweeps[ck] = build_sharded_phase(
+                self.mesh,
+                method=method,
+                cap_local=self.cap_local,
+                T=self.T,
+                T_local=self.T_local,
+                cell_bits=self.cell_bits,
+                mapping_np=self._mapping_np,
+                nr_params=self.spec.nr_params,
+                use_self_transitions=self.spec.use_self_transitions,
+                n_iters=n_iters,
+            )
+        return self._sweeps[ck]
+
     def run(self, method: str, iterations: int, thinning: int):
+        if iterations <= 0:
+            return
+        needs_blocks = self.records is not None and bool(
+            {"sequences", "blocks", "segments"} & self.records.enabled
+        )
         t0 = time.time()
-        for i in range(iterations):
-            do_record = thinning > 0 and (i + 1) % thinning == 0
-            self._one_sweep(method, do_record)
+        if needs_blocks:
+            for i in range(iterations):
+                do_record = thinning > 0 and (i + 1) % thinning == 0
+                self._one_sweep(method, do_record)
+        else:
+            self._run_phase_scanned(method, iterations, thinning)
         jax.block_until_ready(self.model.theta_mean)
         self.sample_time += time.time() - t0
         self.total_sweeps += iterations
+
+    def _run_phase_scanned(self, method: str, iterations: int, thinning: int):
+        from hammlet_tpu.runner import PHASE_CHUNK, _round_capacity
+
+        recording = thinning > 0
+        done = 0
+        while done < iterations:
+            n = min(PHASE_CHUNK, iterations - done)
+            key = self._next_key()
+            while True:
+                backup = (
+                    (jnp.copy(self.counts), jnp.copy(self.everb), self.n_rec)
+                    if recording
+                    else None
+                )
+                fn = self._phase_fn(method, n)
+                model, counts, everb, n_rec, nbs, means, varis = fn(
+                    key,
+                    self.model,
+                    self.priors,
+                    self.negw,
+                    self.rank,
+                    self.r,
+                    self.q2_hi,
+                    self.q2_lo,
+                    self.counts,
+                    self.everb,
+                    self.n_rec,
+                    jnp.int32(thinning),
+                    jnp.asarray(self._dynamic),
+                    self._static_threshold,
+                    jnp.int32(done),
+                )
+                self.counts, self.everb = counts, everb
+                nbs_h = np.asarray(nbs)  # (n, P)
+                max_nb = int(nbs_h.max())
+                if max_nb <= self.cap_local:
+                    self.model, self.n_rec = model, n_rec
+                    break
+                self.cap_local = min(
+                    self.T_local, _round_capacity(2 * max_nb)
+                )
+                if backup is not None:
+                    self.counts, self.everb, self.n_rec = backup
+            if self.records is not None and recording:
+                means_h = np.asarray(means)
+                varis_h = np.asarray(varis)
+                totals = nbs_h.sum(axis=1)
+                for i in range(n):
+                    if (done + i + 1) % thinning == 0:
+                        self.records.record_compression(int(totals[i]))
+                        self.records.record_theta(means_h[i], varis_h[i])
+            done += n
 
     def _one_sweep(self, method: str, do_record: bool):
         key = self._next_key()

@@ -171,6 +171,7 @@ class Engine:
     sweeps_completed: int = field(init=False, default=0)
     total_sweeps: float = field(init=False, default=0.0)
     sample_time: float = field(init=False, default=0.0)
+    last_n_blocks: int = field(init=False, default=0)
 
     def __post_init__(self):
         self._key = jax.random.PRNGKey(self.seed)
@@ -222,14 +223,24 @@ class Engine:
         needs_blocks = self.records is not None and bool(
             {"sequences", "blocks", "segments"} & self.records.enabled
         )
+        import contextlib
+        import os
+
+        profile_dir = os.environ.get("HAMMLET_PROFILE")
+        prof = (
+            jax.profiler.trace(profile_dir)
+            if profile_dir
+            else contextlib.nullcontext()
+        )
         t0 = time.time()
-        if needs_blocks:
-            for i in range(iterations):
-                do_record = thinning > 0 and (i + 1) % thinning == 0
-                self._one_sweep(method, do_record)
-        else:
-            self._run_phase_scanned(method, iterations, thinning)
-        jax.block_until_ready(self.model.theta_mean)
+        with prof:
+            if needs_blocks:
+                for i in range(iterations):
+                    do_record = thinning > 0 and (i + 1) % thinning == 0
+                    self._one_sweep(method, do_record)
+            else:
+                self._run_phase_scanned(method, iterations, thinning)
+            jax.block_until_ready(self.model.theta_mean)
         self.sample_time += time.time() - t0
         self.total_sweeps += iterations
 
@@ -360,11 +371,29 @@ class Engine:
             )
             self.records.close()
 
-    # -- metrics ----------------------------------------------------------
+    # -- metrics / observability ------------------------------------------
+    # The reference's only diagnostics are the -O compression/segments
+    # streams (Records.hpp:204-210); these are kept, plus first-class
+    # throughput counters and an optional on-device profiler trace
+    # (set HAMMLET_PROFILE=<dir> to capture a jax.profiler trace per phase).
 
     @property
     def sweeps_per_second(self) -> float:
         return self.total_sweeps / max(self.sample_time, 1e-9)
+
+    def metrics(self) -> dict:
+        """Structured per-run metrics (SURVEY.md §5 observability)."""
+        sps = self.sweeps_per_second
+        return {
+            "sweeps": self.sweeps_completed,
+            "sweeps_per_second": sps,
+            "positions_per_second": sps * self.ing.T,
+            "compression_ratio": (
+                self.ing.T / self.last_n_blocks if self.last_n_blocks else None
+            ),
+            "block_capacity": self.capacity,
+            "recorded_sweeps": int(np.asarray(self.buffers.n_records)),
+        }
 
 
 def make_engine(
