@@ -19,9 +19,16 @@ import time
 
 import numpy as np
 
-T = int(os.environ.get("HAMMLET_BENCH_T", 16_000_000))
-SWEEPS = int(os.environ.get("HAMMLET_BENCH_SWEEPS", 192))
-BURNIN = int(os.environ.get("HAMMLET_BENCH_BURNIN", 96))
+
+def log(msg):
+    print(f"[bench +{time.time() - _T0:.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
+
+T = int(os.environ.get("HAMMLET_BENCH_T", 8_000_000))
+SWEEPS = int(os.environ.get("HAMMLET_BENCH_SWEEPS", 128))
+BURNIN = int(os.environ.get("HAMMLET_BENCH_BURNIN", 64))
 THIN = 4
 SEGLEN = int(os.environ.get("HAMMLET_BENCH_SEGLEN", 500))
 REF_BIN = "/tmp/hammlet_ref/hammlet"
@@ -68,9 +75,13 @@ def bench_ours(data):
 
     out = "/tmp/hammlet_bench/tpu-"
     rec = Records(len(data), out, ".csv", 3, overwrite=True)
+    log("building engine (ingest + autopriors)")
     eng = make_engine(data, nr_params=3, seed=0, records=rec)
+    log(f"engine ready, capacity {eng.capacity}; burn-in")
     eng.run("M", BURNIN, 0)  # burn-in (reference default scheme starts with M)
+    log(f"burn-in done, capacity {eng.capacity}; warming F chunk")
     eng.run("F", 32, THIN)  # compile the F chunk at the converged capacity
+    log(f"F warm, capacity {eng.capacity}; measuring")
     eng.total_sweeps = 0.0
     eng.sample_time = 0.0
     eng.run("F", SWEEPS, THIN)
@@ -81,7 +92,11 @@ def bench_ours(data):
 
 def bench_reference(data):
     """Reference sweeps/s with ingest time subtracted (the binary has no
-    internal timers)."""
+    internal timers). The measurement is cached per config — the reference
+    binary is deterministic for a fixed seed."""
+    cache = f"/tmp/hammlet_bench/ref_{T}_{SWEEPS}_{BURNIN}.json"
+    if os.path.exists(cache):
+        return json.load(open(cache))["sweeps_per_second"]
     if not os.path.exists(REF_BIN):
         os.makedirs(os.path.dirname(REF_BIN), exist_ok=True)
         r = subprocess.run(
@@ -103,16 +118,25 @@ def bench_reference(data):
         )
         return time.time() - t0
 
+    log("reference: timing base run")
     t_base = run(0)
+    log(f"reference: base {t_base:.1f}s; timing full run")
     t_full = run(SWEEPS)
+    log(f"reference: full {t_full:.1f}s")
     dt = max(t_full - t_base, 1e-6)
-    return SWEEPS / dt
+    sps = SWEEPS / dt
+    json.dump({"sweeps_per_second": sps}, open(cache, "w"))
+    return sps
 
 
 def main():
+    log("generating/loading data")
     data = ensure_data()
+    log(f"data ready: {len(data)} values")
     ours = bench_ours(data)
+    log(f"ours: {ours:.2f} sweeps/s")
     ref = bench_reference(data)
+    log(f"reference: {ref if ref else 'n/a'} sweeps/s")
     vs = (ours / ref) if ref else None
     print(
         json.dumps(

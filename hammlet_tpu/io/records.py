@@ -157,6 +157,24 @@ class Records:
             )
         f.write("\n".join(lines) + "\n")
 
+    def save_marginals_from_segments(
+        self, starts: np.ndarray, seg_counts: np.ndarray
+    ) -> None:
+        """Write the marginals CSV from pre-compacted per-segment rows
+        (device-side RLE; avoids downloading the full (T, K) counts)."""
+        if "marginals" not in self._files:
+            return
+        f = self._files["marginals"]
+        ends = np.concatenate([starts[1:], [self.T]])
+        nonzero_states = np.flatnonzero(seg_counts.sum(axis=0) > 0)
+        n_cols = int(nonzero_states[-1]) + 1 if len(nonzero_states) else 1
+        lines = []
+        for s_, e_, row in zip(starts, ends, seg_counts[:, :n_cols]):
+            lines.append(
+                str(int(e_ - s_)) + "\t" + "\t".join(str(int(c)) for c in row)
+            )
+        f.write("\n".join(lines) + "\n")
+
     def close(self) -> None:
         for fh in self._files.values():
             fh.close()

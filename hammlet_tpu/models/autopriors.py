@@ -87,6 +87,7 @@ def autoprior(
     prefix: PrefixStats,
     noise_std: float,
     capacity: int,
+    cell_bits: int = 16,
 ) -> np.ndarray:
     """Full auto-prior pipeline (AutoPriors.hpp:86-107): compress at
     threshold sqrt(2 ln T) * sigma_noise, take per-(block, dim) means, feed
@@ -94,7 +95,7 @@ def autoprior(
     T = prefix.T
     thr = jnp.float32(np.sqrt(2.0 * np.log(float(T))) * noise_std)
     blocks = make_blocks(jnp.asarray(weights), thr, capacity)
-    stats = block_sufficient_stats(prefix, blocks)  # (B, dim, 2)
+    stats = block_sufficient_stats(prefix, blocks, cell_bits)  # (B, dim, 2)
     sizes = blocks.sizes.astype(jnp.float32)
     valid = blocks.sizes > 0
     means = jnp.where(

@@ -97,6 +97,53 @@ def build_prefix_stats(data: np.ndarray, cell_bits: int = CELL_BITS) -> PrefixSt
     )
 
 
+#: cell size for the on-device prefix build: small enough that plain float32
+#: in-cell cumsums stay well below the reference's Kahan-cell error
+DEVICE_CELL_BITS = 12
+
+
+def build_prefix_stats_device(data: jax.Array, cell_bits: int = DEVICE_CELL_BITS) -> PrefixStats:
+    """On-device PrefixStats from device-resident data (T, dim) float32.
+
+    The in-cell reverse cumsums run in float32 over 2^cell_bits elements
+    (small cells bound the error); the tiny per-cell totals round-trip
+    through the host for an exact float64 cross-cell prefix.
+    """
+    CELL = 1 << cell_bits
+    T, dim = data.shape
+    n_cells = -(-T // CELL)
+    Tc = n_cells * CELL
+
+    @jax.jit
+    def _incell(data):
+        stats = jnp.stack([data, data * data], axis=-1)  # (T, dim, 2)
+        stats = jnp.pad(stats, ((0, Tc - T), (0, 0), (0, 0)))
+        x = stats.reshape(n_cells, CELL, dim, 2)
+        r = jnp.flip(jnp.cumsum(jnp.flip(x, axis=1), axis=1), axis=1)
+        totals = r[:, 0]  # (n_cells, dim, 2)
+        r_full = jnp.concatenate(
+            [r.reshape(Tc, dim, 2)[: T], jnp.zeros((1, dim, 2), jnp.float32)]
+        )
+        return r_full, totals
+
+    r, totals = _incell(data)
+    tot_host = np.asarray(totals).astype(np.float64)
+    q2 = np.zeros((n_cells + 1, dim, 2), dtype=np.float64)
+    np.cumsum(tot_host, axis=0, out=q2[:n_cells])
+    q2[n_cells] = q2[n_cells - 1]
+    q2_hi = q2.astype(np.float32)
+    q2_lo = (q2 - q2_hi.astype(np.float64)).astype(np.float32)
+    return PrefixStats(r=r, q2_hi=jnp.asarray(q2_hi), q2_lo=jnp.asarray(q2_lo))
+
+
+@jax.jit
+def build_ranked_weights_device(weights: jax.Array) -> "RankedWeights":
+    """On-device RankedWeights (device argsort; no host transfer)."""
+    neg = -weights
+    order = jnp.argsort(neg, stable=True).astype(jnp.int32)
+    return RankedWeights(neg_w_sorted=neg[order], pos_by_rank=order)
+
+
 class BlockStructure(NamedTuple):
     """Fixed-capacity block decomposition of [0, T).
 

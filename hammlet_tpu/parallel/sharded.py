@@ -298,9 +298,10 @@ def _sharded_sweep_body(
             block_id < 0, carry_state, z_l[jnp.maximum(block_id, 0)]
         )
         in_data = (shard_start + pos_idx) < T
-        counts_l = counts_l.at[pos_idx, pos_state].add(
-            in_data.astype(jnp.int32)
-        )
+        onehot = (
+            pos_state[:, None] == jnp.arange(K, dtype=pos_state.dtype)[None, :]
+        ) & in_data[:, None]
+        counts_l = counts_l + onehot.astype(counts_l.dtype)
         prev_state = jnp.concatenate([carry_state[None], pos_state[:-1]])
         changed = (pos_state != prev_state) & in_data
         changed = changed & ((shard_start + pos_idx) > 0)

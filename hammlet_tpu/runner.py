@@ -13,6 +13,7 @@ with the same RNG key at a larger capacity (the sweep is a pure function of
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 
@@ -21,14 +22,20 @@ import jax
 import jax.numpy as jnp
 
 from hammlet_tpu.io.records import Records
-from hammlet_tpu.models.autopriors import autoprior_host, noise_std_estimate
+from hammlet_tpu.models.autopriors import autoprior, autoprior_host, noise_std_estimate
 from hammlet_tpu.models.hmm import (
     HMMPriors,
     HMMState,
     ModelSpec,
     sample_from_priors,
 )
-from hammlet_tpu.ops.blocks import build_prefix_stats, build_ranked_weights
+from hammlet_tpu.ops.blocks import (
+    DEVICE_CELL_BITS,
+    build_prefix_stats,
+    build_prefix_stats_device,
+    build_ranked_weights,
+    build_ranked_weights_device,
+)
 from hammlet_tpu.ops.wavelet import breakpoint_weights, maxlet_transform
 from hammlet_tpu.samplers.sweep import RecordBuffers, gibbs_phase, gibbs_sweep
 
@@ -87,6 +94,26 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass
 
 
+def compact_marginals(buffers) -> tuple[np.ndarray, np.ndarray]:
+    """RLE-compact the marginal buffers ON DEVICE and download only the
+    per-segment rows (crucial over low-bandwidth host links: a 3 Gbp counts
+    buffer is GBs, its RLE form is KBs-MBs).
+
+    Returns (starts, seg_counts) as host arrays; segment i covers
+    [starts[i], starts[i+1]) (last ends at T)."""
+    T = buffers.counts.shape[0]
+    n_seg = int(np.asarray(jnp.sum(buffers.ever_boundary))) + 1
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def gather(counts, everb, n):
+        first = jnp.concatenate([jnp.ones((1,), bool), everb[1:]])
+        (starts,) = jnp.nonzero(first, size=n, fill_value=T)
+        return starts.astype(jnp.int32), counts[starts]
+
+    starts, seg_counts = gather(buffers.counts, buffers.ever_boundary, n_seg)
+    return np.asarray(starts), np.asarray(seg_counts)
+
+
 def _round_capacity(n: int) -> int:
     """Round a block count up to the next capacity bucket (~1.5x growth,
     multiples of 128 so the blocked scans engage) to bound recompilations."""
@@ -101,13 +128,27 @@ class Ingest:
     """Device-resident preprocessed data."""
 
     weights: jax.Array  # (T,) float32 breakpoint weights (post multiplier)
-    weights_host: np.ndarray  # host copy (capacity estimation, autopriors)
+    weights_host: np.ndarray | None  # host copy (None for device ingest)
     ranked: object  # RankedWeights — positions pre-sorted by weight
     prefix: object  # PrefixStats
-    coeffs_host: np.ndarray  # (T,) maxlet coefficients (for noise estimate)
+    coeffs_host: np.ndarray | None  # maxlet coefficients (host path only)
     noise_std: float
     T: int
     dim: int
+    cell_bits: int = 16
+
+    def count_boundaries(self, threshold: float) -> int:
+        if self.weights_host is not None:
+            return int((self.weights_host >= np.float32(threshold)).sum())
+        return int(
+            np.asarray(
+                jnp.searchsorted(
+                    self.ranked.neg_w_sorted,
+                    -jnp.float32(threshold),
+                    side="right",
+                )
+            )
+        )
 
 
 def host_transform(data: np.ndarray) -> tuple[np.ndarray, float, np.ndarray]:
@@ -148,6 +189,37 @@ def ingest(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
         noise_std=noise,
         T=T,
         dim=dim,
+    )
+
+
+def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
+    """Device-side ingest: upload only the raw data (T*dim*4 bytes) and run
+    the transform/sort/prefix construction on the accelerator. Essential on
+    low-bandwidth host<->device links; bit-identical maxlet/weights."""
+    data = np.asarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        data = data[:, None]
+    T, dim = data.shape
+    data_dev = jnp.asarray(data)
+    coeffs = maxlet_transform(data_dev)
+    # noise estimate (float32 pairwise reduction on device; the reference
+    # accumulates in double — the difference is far below MC noise)
+    noise = float(jnp.mean(coeffs[1::2])) / 0.7978845608028654
+    weights = breakpoint_weights(coeffs)
+    if weight_multiplier != 1.0:
+        weights = weights * jnp.float32(weight_multiplier)
+    ranked = build_ranked_weights_device(weights)
+    prefix = build_prefix_stats_device(data_dev)
+    return Ingest(
+        weights=weights,
+        weights_host=None,
+        ranked=ranked,
+        prefix=prefix,
+        coeffs_host=None,
+        noise_std=noise,
+        T=T,
+        dim=dim,
+        cell_bits=DEVICE_CELL_BITS,
     )
 
 
@@ -192,7 +264,7 @@ class Engine:
                     * float(np.asarray(self.model.theta_var).min())
                 )
             )
-            nb = int((self.ing.weights_host >= np.float32(thr)).sum())
+            nb = self.ing.count_boundaries(thr)
             self.capacity = min(self.ing.T, _round_capacity(2 * nb + 64))
 
     def _next_key(self) -> jax.Array:
@@ -272,6 +344,7 @@ class Engine:
                     mapping_tuple=self._mapping_tuple,
                     use_self_transitions=self.spec.use_self_transitions,
                     n_iters=n,
+                    cell_bits=self.ing.cell_bits,
                 )
                 max_nb = int(np.asarray(jnp.max(nbs)))
                 if max_nb <= self.capacity:
@@ -365,10 +438,11 @@ class Engine:
 
     def finalize(self) -> None:
         if self.records is not None:
-            self.records.save_marginals(
-                np.asarray(self.buffers.counts),
-                np.asarray(self.buffers.ever_boundary),
-            )
+            if "marginals" in self.records.enabled:
+                starts, seg_counts = compact_marginals(self.buffers)
+                self.records.save_marginals_from_segments(
+                    starts, seg_counts
+                )
             self.records.close()
 
     # -- metrics / observability ------------------------------------------
@@ -410,12 +484,27 @@ def make_engine(
     use_self_transitions: bool = True,
     records: Records | None = None,
     capacity: int | None = None,
+    device_ingest: bool | None = None,
 ) -> Engine:
     """Build a ready-to-run engine with auto-priors (the only prior mode the
     reference implements, main.cpp:204-215)."""
-    ing = ingest(data, weight_multiplier)
+    if device_ingest is None:
+        device_ingest = np.asarray(data).size >= 2_000_000
+    ing = (
+        ingest_device(data, weight_multiplier)
+        if device_ingest
+        else ingest(data, weight_multiplier)
+    )
     spec = ModelSpec(nr_params, nr_data_dim, use_self_transitions)
-    nig_row = autoprior_host(s2, p, data, ing.weights_host, ing.noise_std)
+    if ing.weights_host is not None:
+        nig_row = autoprior_host(s2, p, data, ing.weights_host, ing.noise_std)
+    else:
+        thr0 = float(np.sqrt(2 * np.log(float(ing.T))) * ing.noise_std)
+        ap_cap = max(8, ing.count_boundaries(thr0) + 8)
+        nig_row = autoprior(
+            s2, p, ing.weights, ing.prefix, ing.noise_std, ap_cap,
+            cell_bits=ing.cell_bits,
+        )
     nig = np.tile(nig_row, (nr_params, 1))
     priors = HMMPriors.create(
         nig, spec.nr_states, trans, self_trans, initial_alpha

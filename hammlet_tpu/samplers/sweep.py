@@ -140,8 +140,12 @@ def record_sweep(
 ) -> RecordBuffers:
     """Fold one recorded sweep into the marginal buffers."""
     T = buffers.counts.shape[0]
+    K = buffers.counts.shape[1]
     pos_state = position_states(states, starts, n_blocks, T)
-    counts = buffers.counts.at[jnp.arange(T), pos_state].add(1)
+    # vectorized one-hot add: a (T, K) elementwise compare+add is far faster
+    # on TPU than a T-element scatter
+    onehot = (pos_state[:, None] == jnp.arange(K, dtype=pos_state.dtype)[None, :])
+    counts = buffers.counts + onehot.astype(buffers.counts.dtype)
     changed = jnp.concatenate(
         [jnp.zeros((1,), dtype=bool), pos_state[1:] != pos_state[:-1]]
     )
@@ -168,13 +172,14 @@ def _sweep_core(
     spec_nr_params: int,
     mapping: jax.Array,
     use_self_transitions: bool,
+    cell_bits: int = 16,
 ):
     """Shared sweep body used by both the per-sweep and the scanned phase
     entry points."""
     T = ranked.pos_by_rank.shape[0]
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
     blocks = make_blocks_ranked(ranked, thr, capacity)
-    bstats = block_sufficient_stats(prefix, blocks)
+    bstats = block_sufficient_stats(prefix, blocks, cell_bits)
 
     k_states, k_model = jax.random.split(key)
     if method == "F":
@@ -210,7 +215,7 @@ def _sweep_core(
 @functools.partial(
     jax.jit,
     static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple",
-                     "use_self_transitions", "n_iters"),
+                     "use_self_transitions", "n_iters", "cell_bits"),
     donate_argnames=("buffers",),
 )
 def gibbs_phase(
@@ -231,6 +236,7 @@ def gibbs_phase(
     mapping_tuple: tuple,
     use_self_transitions: bool,
     n_iters: int,
+    cell_bits: int = 16,
 ) -> tuple[HMMState, RecordBuffers, jax.Array, jax.Array, jax.Array]:
     """n_iters Gibbs sweeps as one on-device lax.scan — no host round-trips.
 
@@ -254,7 +260,7 @@ def gibbs_phase(
             use_dynamic, static_threshold,
             method=method, capacity=capacity,
             spec_nr_params=spec_nr_params, mapping=mapping,
-            use_self_transitions=use_self_transitions,
+            use_self_transitions=use_self_transitions, cell_bits=cell_bits,
         )
         return (new_model, new_buffers), (
             outputs.n_blocks, new_model.theta_mean, new_model.theta_var
@@ -268,7 +274,8 @@ def gibbs_phase(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple", "use_self_transitions"),
+    static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple",
+                     "use_self_transitions", "cell_bits"),
     donate_argnames=("buffers",),
 )
 def gibbs_sweep(
@@ -287,6 +294,7 @@ def gibbs_sweep(
     spec_nr_params: int,
     mapping_tuple: tuple,
     use_self_transitions: bool,
+    cell_bits: int = 16,
 ) -> tuple[HMMState, RecordBuffers, SweepOutputs]:
     """One full Gibbs iteration (HMM.hpp:99-121)."""
     mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
@@ -295,4 +303,5 @@ def gibbs_sweep(
         use_dynamic, static_threshold,
         method=method, capacity=capacity, spec_nr_params=spec_nr_params,
         mapping=mapping, use_self_transitions=use_self_transitions,
+        cell_bits=cell_bits,
     )

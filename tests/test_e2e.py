@@ -233,3 +233,43 @@ def test_static_scheme_freezes_blocks(tmp_path):
     assert len(set(lines)) == 1  # frozen structure
     comp = set((tmp_path / "st-compression.csv").read_text().split())
     assert len(comp) == 1
+
+
+def test_device_ingest_path(tmp_path):
+    """The device-side ingest (upload raw data only; transform/sort/prefix on
+    the accelerator) produces equivalent results to the host path."""
+    data, true_states, _ = synth_data(T=2200, seed=21)
+    rec = Records(len(data), str(tmp_path / "di-"), ".csv", 3, overwrite=True)
+    eng = make_engine(data, nr_params=3, seed=7, records=rec, device_ingest=True)
+    assert eng.ing.weights_host is None  # device path active
+    eng.run_scheme("M 60 0 F 40 4".split())
+    eng.finalize()
+    rows = [
+        list(map(int, l.split("\t")))
+        for l in (tmp_path / "di-marginals.csv").read_text().splitlines()
+    ]
+    T = len(data)
+    assert sum(r[0] for r in rows) == T
+    for r in rows:
+        assert sum(r[1:]) == 10
+    pos = np.zeros(T, dtype=int)
+    t = 0
+    for r in rows:
+        pos[t : t + r[0]] = int(np.argmax(r[1:]))
+        t += r[0]
+    agree = 0
+    for s in range(3):
+        m = pos == s
+        if m.sum():
+            agree += (true_states[m] == np.bincount(true_states[m], minlength=3).argmax()).sum()
+    assert agree / T > 0.97
+
+    # maxlet/weights on device are bit-identical to the host/native path
+    from hammlet_tpu.runner import host_transform
+
+    _, _, w_host = host_transform(data[:, None] if data.ndim == 1 else data)
+    import jax.numpy as jnp
+    neg_sorted_host = np.sort(-w_host)
+    np.testing.assert_array_equal(
+        np.asarray(eng.ing.ranked.neg_w_sorted), neg_sorted_host
+    )
