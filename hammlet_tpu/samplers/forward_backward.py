@@ -69,7 +69,9 @@ _GROUP = 128
 
 def prefix_matmul_scan(M: jax.Array) -> jax.Array:
     """Inclusive prefix products of (B, K, K) matrices under the rescaling
-    combine. Blocked two-level formulation when B is a multiple of _GROUP."""
+    combine. Blocked formulation when B is a multiple of _GROUP, applied
+    recursively over group totals so every level stays vectorized (no long
+    sequential cross-group scan)."""
     B, K, _ = M.shape
     if B <= _GROUP or B % _GROUP:
         return jax.lax.associative_scan(_scaled_matmul, M, axis=0)
@@ -77,11 +79,11 @@ def prefix_matmul_scan(M: jax.Array) -> jax.Array:
     x = M.reshape(G, _GROUP, K, K)
     local = jax.lax.associative_scan(_scaled_matmul, x, axis=1)
     totals = local[:, -1]  # (G, K, K)
-
-    def step(carry, tot):
-        return _scaled_matmul(carry, tot), carry  # exclusive prefix
-
-    _, pre = jax.lax.scan(step, jnp.eye(K, dtype=M.dtype), totals)
+    tot_prefix = prefix_matmul_scan(totals)  # inclusive, recursive
+    # exclusive prefix of group totals
+    pre = jnp.concatenate(
+        [jnp.eye(K, dtype=M.dtype)[None], tot_prefix[:-1]], axis=0
+    )
     return _scaled_matmul(pre[:, None], local).reshape(B, K, K)
 
 
@@ -100,15 +102,10 @@ def suffix_compose_scan(maps: jax.Array) -> jax.Array:
         _compose_maps_rev, x, axis=1, reverse=True
     )
     totals = local[:, 0]  # (G, K): whole-group compositions
-
-    def step(carry, tot):
-        # carry = suffix of groups after g; emit it, then prepend group g
-        return tot[carry], carry
-
-    _, after_rev = jax.lax.scan(
-        step, jnp.arange(K, dtype=maps.dtype), totals[::-1]
-    )
-    after = after_rev[::-1]  # (G, K)
+    tot_suffix = suffix_compose_scan(totals)  # inclusive, recursive
+    # exclusive suffix: composition of groups strictly after g
+    ident = jnp.broadcast_to(jnp.arange(K, dtype=maps.dtype), (1, K))
+    after = jnp.concatenate([tot_suffix[1:], ident], axis=0)  # (G, K)
     r = jnp.take_along_axis(
         local, jnp.broadcast_to(after[:, None, :], local.shape), axis=-1
     )
