@@ -19,6 +19,8 @@ Flag grammar per src/main.cpp:33-65 and doc/hammlet-manpage.md:33-176:
   -R/-random-seed N    RNG seed (default: time)
   -i/-iterations SCHEME  sampling scheme DSL (P, S, D, {F,M} iter thin)
   -m/-weight-multiplier X
+  -C/-checkpoint PATH [EVERY]  periodic checkpointing (new; resumes from
+                               PATH automatically when it exists)
 """
 
 from __future__ import annotations
@@ -48,6 +50,7 @@ _FLAG_ALIASES = {
     "-random-seed": "-R",
     "-iterations": "-i",
     "-weight-multiplier": "-m",
+    "-checkpoint": "-C",
 }
 
 _DEFAULTS = {
@@ -81,7 +84,7 @@ def parse_args(argv: list[str]) -> dict[str, list[str]]:
         canon = _FLAG_ALIASES.get(tok, tok)
         if canon.startswith("-") and (
             canon in _DEFAULTS
-            or canon in ("-v", "-g", "-h", "-w", "-a", "-S", "-f", "-R")
+            or canon in ("-v", "-g", "-h", "-w", "-a", "-S", "-f", "-R", "-C")
         ):
             cur = canon
             out.setdefault(cur, [])
@@ -218,6 +221,22 @@ def _run(args: dict[str, list[str]]) -> int:
         use_self_transitions=use_self,
         records=records,
     )
+    if "-C" in args and args["-C"]:
+        import os as _os
+
+        from hammlet_tpu.checkpoint import restore_checkpoint
+
+        engine.checkpoint_path = args["-C"][0]
+        engine.checkpoint_every = (
+            int(args["-C"][1]) if len(args["-C"]) > 1 else 100
+        )
+        if _os.path.exists(engine.checkpoint_path):
+            restore_checkpoint(engine, engine.checkpoint_path)
+            if verbose:
+                print(
+                    f"Resumed from {engine.checkpoint_path} at sweep "
+                    f"{engine.sweeps_completed}"
+                )
     engine.run_scheme(get("-i"))
     engine.finalize()
     if verbose:

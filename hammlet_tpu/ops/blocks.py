@@ -237,3 +237,28 @@ def block_sufficient_stats(
     q_hi = prefix.q2_hi[ce] - prefix.q2_hi[cs]
     q_lo = prefix.q2_lo[ce] - prefix.q2_lo[cs]
     return (r_s - r_e) + (q_hi + q_lo)
+
+
+def blocks_from_sizes(sizes, capacity: int | None = None) -> BlockStructure:
+    """Static block structure from an explicit size list (the reference's
+    Blocks<Fixed>, src/Blocks/FixedBlocks.hpp:5-106; Splittable refinement is
+    obtained by passing a refined size list). Padded to ``capacity``."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    if (sizes <= 0).any():
+        raise ValueError("block sizes must be positive")
+    T = int(sizes.sum())
+    n = len(sizes)
+    capacity = n if capacity is None else capacity
+    if capacity < n:
+        raise ValueError("capacity smaller than number of blocks")
+    starts = np.full(capacity, T, dtype=np.int32)
+    ends = np.full(capacity, T, dtype=np.int32)
+    csum = np.concatenate([[0], np.cumsum(sizes)])
+    starts[:n] = csum[:-1]
+    ends[:n] = csum[1:]
+    return BlockStructure(
+        jnp.asarray(starts),
+        jnp.asarray(ends),
+        jnp.asarray(ends - starts),
+        jnp.int32(n),
+    )

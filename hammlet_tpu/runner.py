@@ -115,11 +115,12 @@ def compact_marginals(buffers) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _round_capacity(n: int) -> int:
-    """Round a block count up to the next capacity bucket (~1.5x growth,
-    multiples of 128 so the blocked scans engage) to bound recompilations."""
+    """Round a block count up to the next capacity bucket (doubling,
+    multiples of 128 so the blocked scans engage). A coarse ladder keeps the
+    number of distinct compiled programs small."""
     cap = 128
     while cap < n:
-        cap = ((cap * 3 // 2) + 127) // 128 * 128
+        cap *= 2
     return cap
 
 
