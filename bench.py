@@ -26,7 +26,7 @@ def log(msg):
 
 _T0 = time.time()
 
-T = int(os.environ.get("HAMMLET_BENCH_T", 8_000_000))
+T = int(os.environ.get("HAMMLET_BENCH_T", 4_000_000))
 SWEEPS = int(os.environ.get("HAMMLET_BENCH_SWEEPS", 128))
 BURNIN = int(os.environ.get("HAMMLET_BENCH_BURNIN", 64))
 THIN = 4
