@@ -21,6 +21,8 @@ Flag grammar per src/main.cpp:33-65 and doc/hammlet-manpage.md:33-176:
   -m/-weight-multiplier X
   -C/-checkpoint PATH [EVERY]  periodic checkpointing (new; resumes from
                                PATH automatically when it exists)
+  -D/-devices N        shard the position axis over N devices (new; default
+                       1 = single-device engine)
 """
 
 from __future__ import annotations
@@ -51,6 +53,7 @@ _FLAG_ALIASES = {
     "-iterations": "-i",
     "-weight-multiplier": "-m",
     "-checkpoint": "-C",
+    "-devices": "-D",
 }
 
 _DEFAULTS = {
@@ -84,7 +87,7 @@ def parse_args(argv: list[str]) -> dict[str, list[str]]:
         canon = _FLAG_ALIASES.get(tok, tok)
         if canon.startswith("-") and (
             canon in _DEFAULTS
-            or canon in ("-v", "-g", "-h", "-w", "-a", "-S", "-f", "-R", "-C")
+            or canon in ("-v", "-g", "-h", "-w", "-a", "-S", "-f", "-R", "-C", "-D")
         ):
             cur = canon
             out.setdefault(cur, [])
@@ -207,21 +210,41 @@ def _run(args: dict[str, list[str]]) -> int:
         outputs=outputs - {"mapping"},
         overwrite=overwrite,
     )
-    engine = make_engine(
-        data,
-        nr_params=nr_params,
-        nr_data_dim=nr_dim,
-        seed=seed,
-        s2=s2,
-        p=p,
-        trans=trans,
-        self_trans=self_trans,
-        initial_alpha=initial_alpha,
-        weight_multiplier=weight_multiplier,
-        use_self_transitions=use_self,
-        records=records,
-    )
-    if "-C" in args and args["-C"]:
+    n_devices = int(args["-D"][0]) if args.get("-D") else 1
+    if n_devices > 1:
+        from hammlet_tpu.parallel import make_sharded_engine, position_mesh
+
+        engine = make_sharded_engine(
+            data,
+            mesh=position_mesh(n_devices),
+            nr_params=nr_params,
+            nr_data_dim=nr_dim,
+            seed=seed,
+            s2=s2,
+            p=p,
+            trans=trans,
+            self_trans=self_trans,
+            initial_alpha=initial_alpha,
+            weight_multiplier=weight_multiplier,
+            use_self_transitions=use_self,
+            records=records,
+        )
+    else:
+        engine = make_engine(
+            data,
+            nr_params=nr_params,
+            nr_data_dim=nr_dim,
+            seed=seed,
+            s2=s2,
+            p=p,
+            trans=trans,
+            self_trans=self_trans,
+            initial_alpha=initial_alpha,
+            weight_multiplier=weight_multiplier,
+            use_self_transitions=use_self,
+            records=records,
+        )
+    if "-C" in args and args["-C"] and n_devices == 1:
         import os as _os
 
         from hammlet_tpu.checkpoint import restore_checkpoint

@@ -649,6 +649,18 @@ class ShardedEngine:
     def sweeps_per_second(self) -> float:
         return self.total_sweeps / max(self.sample_time, 1e-9)
 
+    def metrics(self) -> dict:
+        sps = self.sweeps_per_second
+        return {
+            "sweeps": self.total_sweeps,
+            "sweeps_per_second": sps,
+            "positions_per_second": sps * self.T,
+            "positions_per_second_per_chip": sps * self.T / self.n_shards,
+            "n_devices": self.n_shards,
+            "block_capacity_per_shard": self.cap_local,
+            "recorded_sweeps": int(np.asarray(self.n_rec)),
+        }
+
 
 def _choose_layout(T: int, n_shards: int) -> tuple[int, int]:
     """(T_local, cell_bits): shard size cell-aligned, cells <= 2^16."""
