@@ -23,6 +23,7 @@ up to a caller-chosen capacity, so XLA compiles the sweep once.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -262,3 +263,45 @@ def blocks_from_sizes(sizes, capacity: int | None = None) -> BlockStructure:
         jnp.asarray(ends - starts),
         jnp.int32(n),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def bucket_candidates(ranked: RankedWeights, capacity: int):
+    """Position-sorted boundary candidates for a capacity bucket.
+
+    The top-``capacity`` ranks are a static set per bucket, so their
+    position-sort happens ONCE per capacity change instead of every sweep
+    (TPU sorts are expensive; the per-sweep work drops to a masked nonzero).
+
+    Returns (cand_pos, cand_rank): cand_pos ascending positions with a
+    sentinel T appended; cand_rank[i] = weight rank of cand_pos[i].
+    """
+    T = ranked.pos_by_rank.shape[0]
+    prefix = ranked.pos_by_rank[:capacity]
+    order = jnp.argsort(prefix)
+    cand_pos = jnp.concatenate(
+        [prefix[order], jnp.full((1,), T, dtype=jnp.int32)]
+    )
+    return cand_pos, order.astype(jnp.int32)
+
+
+def make_blocks_bucketed(
+    cand_pos: jax.Array,
+    cand_rank: jax.Array,
+    ranked: RankedWeights,
+    threshold: jax.Array,
+) -> BlockStructure:
+    """Block structure from pre-sorted bucket candidates — no per-sweep sort.
+
+    Identical to make_blocks_ranked for any threshold whose boundary count
+    fits the bucket (otherwise n_blocks > capacity flags the overflow)."""
+    T = ranked.pos_by_rank.shape[0]
+    capacity = cand_rank.shape[0]
+    n_blocks = jnp.searchsorted(
+        ranked.neg_w_sorted, -threshold, side="right"
+    ).astype(jnp.int32)
+    valid = cand_rank < n_blocks
+    (sel,) = jnp.nonzero(valid, size=capacity, fill_value=capacity)
+    starts = cand_pos[sel]  # padded entries hit the T sentinel
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), T, dtype=jnp.int32)])
+    return BlockStructure(starts, ends, ends - starts, n_blocks)

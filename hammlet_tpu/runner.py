@@ -31,6 +31,7 @@ from hammlet_tpu.models.hmm import (
 )
 from hammlet_tpu.ops.blocks import (
     DEVICE_CELL_BITS,
+    bucket_candidates,
     build_prefix_stats,
     build_prefix_stats_device,
     build_ranked_weights,
@@ -285,6 +286,17 @@ class Engine:
         self.sweep_counter += 1
         return jax.random.fold_in(self._key, self.sweep_counter)
 
+    def _candidates(self):
+        """Position-sorted boundary candidates for the current capacity
+        (sorted once per capacity change, not per sweep)."""
+        if not hasattr(self, "_cands"):
+            self._cands = {}
+        if self.capacity not in self._cands:
+            self._cands[self.capacity] = bucket_candidates(
+                self.ing.ranked, self.capacity
+            )
+        return self._cands[self.capacity]
+
     # -- scheme ops -------------------------------------------------------
 
     def sample_prior(self) -> None:
@@ -341,11 +353,14 @@ class Engine:
                 backup = (
                     jax.tree.map(jnp.copy, self.buffers) if recording else None
                 )
+                cand_pos, cand_rank = self._candidates()
                 model, buffers, nbs, means, varis = gibbs_phase(
                     key,
                     self.model,
                     self.priors,
                     self.ing.ranked,
+                    cand_pos,
+                    cand_rank,
                     self.ing.prefix,
                     self.buffers,
                     jnp.int32(thinning),
@@ -395,11 +410,14 @@ class Engine:
     def _one_sweep(self, method: str, do_record: bool) -> None:
         key = self._next_key()
         while True:
+            cand_pos, cand_rank = self._candidates()
             new_model, new_buffers, outputs = gibbs_sweep(
                 key,
                 self.model,
                 self.priors,
                 self.ing.ranked,
+                cand_pos,
+                cand_rank,
                 self.ing.prefix,
                 self.buffers,
                 jnp.asarray(do_record),

@@ -31,7 +31,8 @@ from hammlet_tpu.ops.blocks import (
     PrefixStats,
     RankedWeights,
     block_sufficient_stats,
-    make_blocks_ranked,
+    bucket_candidates,
+    make_blocks_bucketed,
 )
 from hammlet_tpu.samplers.forward_backward import fb_sample_states
 from hammlet_tpu.samplers.mixture import mixture_sample_states
@@ -161,6 +162,8 @@ def _sweep_core(
     model: HMMState,
     priors: HMMPriors,
     ranked: RankedWeights,
+    cand_pos,  # (capacity+1,) pre-sorted bucket candidates (+ T sentinel)
+    cand_rank,  # (capacity,)
     prefix: PrefixStats,
     buffers: RecordBuffers,
     do_record,
@@ -178,7 +181,7 @@ def _sweep_core(
     entry points."""
     T = ranked.pos_by_rank.shape[0]
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
-    blocks = make_blocks_ranked(ranked, thr, capacity)
+    blocks = make_blocks_bucketed(cand_pos, cand_rank, ranked, thr)
     bstats = block_sufficient_stats(prefix, blocks, cell_bits)
 
     k_states, k_model = jax.random.split(key)
@@ -223,6 +226,8 @@ def gibbs_phase(
     model: HMMState,
     priors: HMMPriors,
     ranked: RankedWeights,
+    cand_pos: jax.Array,
+    cand_rank: jax.Array,
     prefix: PrefixStats,
     buffers: RecordBuffers,
     thinning: jax.Array,  # () int32 (0 = never record)
@@ -256,7 +261,7 @@ def gibbs_phase(
             ((offset + i + 1) % jnp.maximum(thinning, 1)) == 0
         )
         new_model, new_buffers, outputs = _sweep_core(
-            k, model, priors, ranked, prefix, buffers, do_record,
+            k, model, priors, ranked, cand_pos, cand_rank, prefix, buffers, do_record,
             use_dynamic, static_threshold,
             method=method, capacity=capacity,
             spec_nr_params=spec_nr_params, mapping=mapping,
@@ -283,6 +288,8 @@ def gibbs_sweep(
     model: HMMState,
     priors: HMMPriors,
     ranked: RankedWeights,
+    cand_pos: jax.Array,
+    cand_rank: jax.Array,
     prefix: PrefixStats,
     buffers: RecordBuffers,
     do_record: jax.Array,  # () bool
@@ -299,7 +306,7 @@ def gibbs_sweep(
     """One full Gibbs iteration (HMM.hpp:99-121)."""
     mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
     return _sweep_core(
-        key, model, priors, ranked, prefix, buffers, do_record,
+        key, model, priors, ranked, cand_pos, cand_rank, prefix, buffers, do_record,
         use_dynamic, static_threshold,
         method=method, capacity=capacity, spec_nr_params=spec_nr_params,
         mapping=mapping, use_self_transitions=use_self_transitions,
