@@ -72,7 +72,8 @@ def _sharded_sweep_body(
     model: HMMState,
     priors: HMMPriors,
     negw_l,  # (T_local,) ascending sort of -weights, local to the shard
-    rank_l,  # (T_local,) local position of the rank-r largest local weight
+    candpos_l,  # (cap_local+1,) per-shard position-sorted candidates (+T_local sentinel)
+    candrank_l,  # (cap_local,) local weight rank of each candidate
     r_l,  # (T_local + 1,) local in-cell reverse prefix (extra right-edge row)
     q2_hi,  # (n_cells + 1, dim, 2) replicated
     q2_lo,
@@ -113,12 +114,12 @@ def _sharded_sweep_body(
 
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
 
-    # ---- local block boundaries (rank-based: O(cap_local) per sweep) ----
+    # ---- local block boundaries (pre-sorted bucket candidates; the only
+    # per-sweep work is a binary search + masked nonzero) ----
     nb_l = jnp.searchsorted(negw_l, -thr, side="right").astype(jnp.int32)
-    cand = rank_l[:cap_local].astype(jnp.int32)
-    lstarts = jnp.sort(
-        jnp.where(jnp.arange(cap_local) < nb_l, cand, T_local)
-    )
+    valid_c = candrank_l < nb_l
+    (sel,) = jnp.nonzero(valid_c, size=cap_local, fill_value=cap_local)
+    lstarts = candpos_l[sel]  # padded entries hit the T_local sentinel
     gstarts = lstarts + shard_start  # padded -> shard_end
     bidx = jnp.arange(cap_local)
     valid_b = bidx < nb_l
@@ -342,14 +343,14 @@ def build_sharded_sweep(
     sh = P(POS_AXIS)
     specs = dict(
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
         out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
     )
     try:
         fn = shard_map(body, check_vma=False, **specs)
     except TypeError:  # pragma: no cover - older jax uses check_rep
         fn = shard_map(body, check_rep=False, **specs)
-    return jax.jit(fn, donate_argnums=(8, 9))
+    return jax.jit(fn, donate_argnums=(9, 10))
 
 
 def build_sharded_phase(
@@ -383,7 +384,7 @@ def build_sharded_phase(
     sh = P(POS_AXIS)
     specs = dict(
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
         out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
     )
     try:
@@ -392,7 +393,7 @@ def build_sharded_phase(
         sweep = shard_map(body, check_rep=False, **specs)
 
     def phase(
-        key, model, priors, negw, rank, r, q2_hi, q2_lo,
+        key, model, priors, negw, candpos, candrank, r, q2_hi, q2_lo,
         counts, everb, n_rec, thinning, use_dynamic, static_threshold, offset,
     ):
         def step(carry, i):
@@ -402,7 +403,7 @@ def build_sharded_phase(
                 ((offset + i + 1) % jnp.maximum(thinning, 1)) == 0
             )
             model, counts, everb, n_rec, _z, _sizes, nb, _thr = sweep(
-                k, model, priors, negw, rank, r, q2_hi, q2_lo,
+                k, model, priors, negw, candpos, candrank, r, q2_hi, q2_lo,
                 counts, everb, n_rec, do_rec, use_dynamic, static_threshold,
             )
             return (model, counts, everb, n_rec), (
@@ -414,7 +415,7 @@ def build_sharded_phase(
         )
         return model, counts, everb, n_rec, nbs, means, varis
 
-    return jax.jit(phase, donate_argnums=(8, 9))
+    return jax.jit(phase, donate_argnums=(9, 10))
 
 
 @dataclass
@@ -459,6 +460,38 @@ class ShardedEngine:
     def _next_key(self):
         self.sweep_counter += 1
         return jax.random.fold_in(self._key, self.sweep_counter)
+
+    def _shard_candidates(self):
+        """Per-shard position-sorted candidates for the current cap_local,
+        computed once per capacity change under shard_map."""
+        if not hasattr(self, "_cands"):
+            self._cands = {}
+        if self.cap_local not in self._cands:
+            cap = self.cap_local
+            T_local = self.T_local
+
+            def build(rank_l):
+                prefix = rank_l[:cap].astype(jnp.int32)
+                order = jnp.argsort(prefix)
+                pos = jnp.concatenate(
+                    [prefix[order], jnp.full((1,), T_local, jnp.int32)]
+                )
+                return pos, order.astype(jnp.int32)
+
+            try:
+                fn = shard_map(
+                    build, mesh=self.mesh,
+                    in_specs=P(POS_AXIS), out_specs=P(POS_AXIS),
+                    check_vma=False,
+                )
+            except TypeError:  # pragma: no cover
+                fn = shard_map(
+                    build, mesh=self.mesh,
+                    in_specs=P(POS_AXIS), out_specs=P(POS_AXIS),
+                    check_rep=False,
+                )
+            self._cands[cap] = jax.jit(fn)(self.rank)
+        return self._cands[self.cap_local]
 
     def _sweep_fn(self, method: str):
         ck = (method, self.cap_local)
@@ -537,12 +570,14 @@ class ShardedEngine:
                     else None
                 )
                 fn = self._phase_fn(method, n)
+                candpos, candrank = self._shard_candidates()
                 model, counts, everb, n_rec, nbs, means, varis = fn(
                     key,
                     self.model,
                     self.priors,
                     self.negw,
-                    self.rank,
+                    candpos,
+                    candrank,
                     self.r,
                     self.q2_hi,
                     self.q2_lo,
@@ -579,12 +614,14 @@ class ShardedEngine:
         key = self._next_key()
         while True:
             fn = self._sweep_fn(method)
+            candpos, candrank = self._shard_candidates()
             new_model, counts, everb, n_rec, z, sizes, nb_shard, thr = fn(
                 key,
                 self.model,
                 self.priors,
                 self.negw,
-                self.rank,
+                candpos,
+                candrank,
                 self.r,
                 self.q2_hi,
                 self.q2_lo,
