@@ -85,3 +85,44 @@ def emission_log_weights(
     sumsqs = block_stats[..., 1]
     ip = sums @ A.T - sumsqs @ Bc.T  # (B, K)
     return ip - sizes.astype(jnp.float32)[:, None] * C[None, :]
+
+
+# -- Beta / Geometric family -------------------------------------------------
+# The reference carries a Geometric-emission/Beta-conjugate family in its
+# probability kernel (SufficientStatistics.hpp:310-388, Conjugate.hpp:209-215,
+# Distribution.hpp:94-107, EFD.hpp:64-77, Theta.hpp:248-257) although main.cpp
+# only wires the Normal family; provided here for the same capability surface.
+
+
+def beta_update(prior: jax.Array, sums: jax.Array, counts: jax.Array) -> jax.Array:
+    """Beta conjugate update for Geometric observations: rows (alpha, beta);
+    alpha += N, beta += sum (Conjugate.hpp:209-215)."""
+    return jnp.stack(
+        [prior[:, 0] + counts.astype(jnp.float32), prior[:, 1] + sums], axis=1
+    )
+
+
+def beta_sample(key: jax.Array, params: jax.Array) -> jax.Array:
+    """Beta draws via two Gammas (Distribution.hpp:94-107)."""
+    ka, kb = jax.random.split(key)
+    a = jax.random.gamma(ka, params[:, 0])
+    b = jax.random.gamma(kb, params[:, 1])
+    return a / (a + b)
+
+
+def geometric_log_weights(
+    sums: jax.Array, sizes: jax.Array, theta_value: jax.Array
+) -> jax.Array:
+    """Per-(block, param) Geometric log emission weight:
+    innerProduct = sum * value, logNormalizer = log(value)
+    (EFD.hpp:64-77)."""
+    return (
+        sums[:, None] * theta_value[None, :]
+        - sizes.astype(jnp.float32)[:, None] * jnp.log(theta_value)[None, :]
+    )
+
+
+def beta_threshold_value(theta_value: jax.Array) -> jax.Array:
+    """Compression threshold statistic for Beta emissions: min over params of
+    (1 - p) / p^2 (Theta.hpp:248-257)."""
+    return jnp.min((1.0 - theta_value) / (theta_value * theta_value))

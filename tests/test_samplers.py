@@ -178,3 +178,31 @@ def test_accumulate_sweep_stats_matches_golden():
         np.testing.assert_allclose(
             float(stats.theta_counts[s]), p["N"][mask].sum(), rtol=1e-6
         )
+
+
+def test_beta_geometric_family():
+    """Beta/Geometric conjugate family (capability parity with the
+    reference's unwired Geometric emission layer)."""
+    from hammlet_tpu.models.distributions import (
+        beta_sample,
+        beta_threshold_value,
+        beta_update,
+        geometric_log_weights,
+    )
+
+    prior = jnp.array([[2.0, 3.0], [1.0, 1.0]])
+    post = beta_update(prior, jnp.array([10.0, 0.0]), jnp.array([4, 0]))
+    np.testing.assert_allclose(np.asarray(post), [[6.0, 13.0], [1.0, 1.0]])
+
+    key = jax.random.PRNGKey(0)
+    draws = beta_sample(key, jnp.tile(jnp.array([[20.0, 10.0]]), (100000, 1)))
+    assert abs(float(draws.mean()) - 2 / 3) < 0.01  # E[Beta(20,10)] = 2/3
+
+    lw = geometric_log_weights(
+        jnp.array([5.0, 0.0]), jnp.array([3, 1]), jnp.array([0.5])
+    )
+    np.testing.assert_allclose(
+        np.asarray(lw[:, 0]), [5 * 0.5 - 3 * np.log(0.5), -np.log(0.5)],
+        rtol=1e-6,
+    )
+    assert abs(float(beta_threshold_value(jnp.array([0.5, 0.25]))) - 2.0) < 1e-6
