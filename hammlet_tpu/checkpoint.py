@@ -39,6 +39,8 @@ def save_checkpoint(engine, path: str) -> None:
         "ever_boundary": np.asarray(engine.buffers.ever_boundary),
         "n_records": np.asarray(engine.buffers.n_records),
         "total_sweeps": np.float64(engine.total_sweeps),
+        "scheme_op_index": np.int64(engine.scheme_op_index),
+        "scheme_op_done": np.int64(engine.scheme_op_done),
     }
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
@@ -79,4 +81,81 @@ def restore_checkpoint(engine, path: str) -> None:
         jnp.asarray(z["ever_boundary"]),
         jnp.asarray(z["n_records"]),
     )
-    engine.total_sweeps = float(z["total_sweeps"])
+    # total_sweeps/sample_time are process-local throughput counters and are
+    # intentionally NOT restored (a resumed process reports its own rate)
+    engine.scheme_op_index = int(z["scheme_op_index"]) if "scheme_op_index" in z.files else 0
+    engine.scheme_op_done = int(z["scheme_op_done"]) if "scheme_op_done" in z.files else 0
+
+
+def save_sharded_checkpoint(engine, path: str) -> None:
+    """Serialize a ShardedEngine's resumable state (marginal counts are
+    gathered to host; restore re-shards them over the engine's mesh)."""
+    state = {
+        "seed": np.int64(engine.seed),
+        "n_shards": np.int64(engine.n_shards),
+        "sweep_counter": np.int64(engine.sweep_counter),
+        "sweeps_completed": np.int64(engine.sweeps_completed),
+        "cap_local": np.int64(engine.cap_local),
+        "dynamic": np.bool_(engine._dynamic),
+        "static_threshold": np.asarray(engine._static_threshold),
+        "theta_mean": np.asarray(engine.model.theta_mean),
+        "theta_var": np.asarray(engine.model.theta_var),
+        "A": np.asarray(engine.model.A),
+        "pi": np.asarray(engine.model.pi),
+        "counts": np.asarray(engine.counts),
+        "everb": np.asarray(engine.everb),
+        "n_rec": np.asarray(engine.n_rec),
+        "total_sweeps": np.float64(engine.total_sweeps),
+        "scheme_op_index": np.int64(engine.scheme_op_index),
+        "scheme_op_done": np.int64(engine.scheme_op_done),
+    }
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **state)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def restore_sharded_checkpoint(engine, path: str) -> None:
+    """Load state saved by save_sharded_checkpoint into a freshly built
+    ShardedEngine (same data/priors/spec/seed/mesh size)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hammlet_tpu.parallel.mesh import POS_AXIS
+
+    z = np.load(path)
+    if int(z["seed"]) != engine.seed:
+        raise ValueError(
+            f"checkpoint seed {int(z['seed'])} != engine seed {engine.seed}"
+        )
+    if int(z["n_shards"]) != engine.n_shards:
+        raise ValueError(
+            f"checkpoint has {int(z['n_shards'])} shards, engine has "
+            f"{engine.n_shards} (resume on the same mesh size)"
+        )
+    if z["counts"].shape != tuple(engine.counts.shape):
+        raise ValueError("checkpoint shape mismatch (different data or model?)")
+    shard = NamedSharding(engine.mesh, P(POS_AXIS))
+    engine.sweep_counter = int(z["sweep_counter"])
+    engine.sweeps_completed = int(z["sweeps_completed"])
+    engine.cap_local = int(z["cap_local"])
+    engine._dynamic = bool(z["dynamic"])
+    engine._static_threshold = jnp.float32(z["static_threshold"])
+    engine.model = HMMState(
+        jnp.asarray(z["theta_mean"]),
+        jnp.asarray(z["theta_var"]),
+        jnp.asarray(z["A"]),
+        jnp.asarray(z["pi"]),
+    )
+    engine.counts = jax.device_put(jnp.asarray(z["counts"]), shard)
+    engine.everb = jax.device_put(jnp.asarray(z["everb"]), shard)
+    engine.n_rec = jnp.asarray(z["n_rec"])
+    engine.scheme_op_index = int(z["scheme_op_index"])
+    engine.scheme_op_done = int(z["scheme_op_done"])

@@ -244,17 +244,23 @@ def _run(args: dict[str, list[str]]) -> int:
             use_self_transitions=use_self,
             records=records,
         )
-    if "-C" in args and args["-C"] and n_devices == 1:
+    if "-C" in args and args["-C"]:
         import os as _os
 
-        from hammlet_tpu.checkpoint import restore_checkpoint
+        from hammlet_tpu.checkpoint import (
+            restore_checkpoint,
+            restore_sharded_checkpoint,
+        )
 
         engine.checkpoint_path = args["-C"][0]
         engine.checkpoint_every = (
             int(args["-C"][1]) if len(args["-C"]) > 1 else 100
         )
         if _os.path.exists(engine.checkpoint_path):
-            restore_checkpoint(engine, engine.checkpoint_path)
+            restore = (
+                restore_sharded_checkpoint if n_devices > 1 else restore_checkpoint
+            )
+            restore(engine, engine.checkpoint_path)
             if verbose:
                 print(
                     f"Resumed from {engine.checkpoint_path} at sweep "

@@ -436,9 +436,14 @@ class ShardedEngine:
     q2_lo: jax.Array
     records: Records | None = None
     cap_local: int = 1024
+    checkpoint_path: str | None = None
+    checkpoint_every: int = 0  # sweeps between checkpoints (0 = off)
 
     model: HMMState = field(init=False)
     sweep_counter: int = field(init=False, default=0)
+    sweeps_completed: int = field(init=False, default=0)
+    scheme_op_index: int = field(init=False, default=0)
+    scheme_op_done: int = field(init=False, default=0)
     total_sweeps: float = field(init=False, default=0.0)
     sample_time: float = field(init=False, default=0.0)
 
@@ -538,7 +543,7 @@ class ShardedEngine:
             )
         return self._sweeps[ck]
 
-    def run(self, method: str, iterations: int, thinning: int):
+    def run(self, method: str, iterations: int, thinning: int, start: int = 0):
         if iterations <= 0:
             return
         needs_blocks = self.records is not None and bool(
@@ -547,21 +552,39 @@ class ShardedEngine:
         t0 = time.time()
         if needs_blocks:
             for i in range(iterations):
-                do_record = thinning > 0 and (i + 1) % thinning == 0
+                do_record = thinning > 0 and (start + i + 1) % thinning == 0
                 self._one_sweep(method, do_record)
+                self.sweeps_completed += 1
+                self.scheme_op_done = start + i + 1
+                self._maybe_checkpoint()
         else:
-            self._run_phase_scanned(method, iterations, thinning)
+            self._run_phase_scanned(method, iterations, thinning, start)
         jax.block_until_ready(self.model.theta_mean)
         self.sample_time += time.time() - t0
         self.total_sweeps += iterations
 
-    def _run_phase_scanned(self, method: str, iterations: int, thinning: int):
+    def _maybe_checkpoint(self):
+        if not self.checkpoint_path or self.checkpoint_every <= 0:
+            return
+        if (
+            self.sweeps_completed - getattr(self, "_last_ckpt", 0)
+            >= self.checkpoint_every
+        ):
+            from hammlet_tpu.checkpoint import save_sharded_checkpoint
+
+            save_sharded_checkpoint(self, self.checkpoint_path)
+            self._last_ckpt = self.sweeps_completed
+
+    def _run_phase_scanned(
+        self, method: str, iterations: int, thinning: int, start: int = 0
+    ):
         from hammlet_tpu.runner import PHASE_CHUNK, _round_capacity
 
         recording = thinning > 0
-        done = 0
-        while done < iterations:
-            n = min(PHASE_CHUNK, iterations - done)
+        done = start
+        end = start + iterations
+        while done < end:
+            n = min(PHASE_CHUNK, end - done)
             key = self._next_key()
             while True:
                 backup = (
@@ -609,6 +632,9 @@ class ShardedEngine:
                         self.records.record_compression(int(totals[i]))
                         self.records.record_theta(means_h[i], varis_h[i])
             done += n
+            self.sweeps_completed += n
+            self.scheme_op_done = done
+            self._maybe_checkpoint()
 
     def _one_sweep(self, method: str, do_record: bool):
         key = self._next_key()
@@ -661,18 +687,9 @@ class ShardedEngine:
             )
 
     def run_scheme(self, tokens: list[str]):
-        from hammlet_tpu.runner import parse_scheme
+        from hammlet_tpu.runner import run_scheme_resumable
 
-        for op in parse_scheme(tokens):
-            if op[0] == "prior":
-                self.sample_prior()
-            elif op[0] == "static":
-                self.set_static()
-            elif op[0] == "dynamic":
-                self.set_dynamic()
-            else:
-                _, method, iters, thin = op
-                self.run(method, iters, thin)
+        run_scheme_resumable(self, tokens)
 
     def finalize(self):
         if self.records is not None:

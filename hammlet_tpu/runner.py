@@ -115,6 +115,35 @@ def compact_marginals(buffers) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(starts), np.asarray(seg_counts)
 
 
+def run_scheme_resumable(engine, tokens: list[str]) -> None:
+    """Execute a ``-i`` scheme on an engine (single-device or sharded),
+    honoring the engine's scheme cursor: ops before ``scheme_op_index`` are
+    skipped (their effect lives in the restored model/threshold/RNG state)
+    and a partially-completed F/M phase continues at ``scheme_op_done`` with
+    the original thinning alignment."""
+    for idx, op in enumerate(parse_scheme(tokens)):
+        if idx < engine.scheme_op_index:
+            continue
+        if op[0] == "prior":
+            engine.sample_prior()
+        elif op[0] == "static":
+            engine.set_static()
+        elif op[0] == "dynamic":
+            engine.set_dynamic()
+        else:
+            _, method, iters, thin = op
+            start = engine.scheme_op_done
+            if start < iters:
+                engine.run(method, iters - start, thin, start=start)
+        engine.scheme_op_index = idx + 1
+        engine.scheme_op_done = 0
+    # reset the cursor so a subsequent run_scheme() on the same engine
+    # executes in full (the cursor only persists across process restarts,
+    # via checkpoints taken while a phase is running)
+    engine.scheme_op_index = 0
+    engine.scheme_op_done = 0
+
+
 def _round_capacity(n: int) -> int:
     """Round a block count up to the next capacity bucket (doubling,
     multiples of 128 so the blocked scans engage). A coarse ladder keeps the
@@ -256,6 +285,11 @@ class Engine:
     buffers: RecordBuffers = field(init=False)
     sweep_counter: int = field(init=False, default=0)
     sweeps_completed: int = field(init=False, default=0)
+    # scheme cursor: (index of the next -i op, sweeps already done within it);
+    # checkpointed so a resumed run_scheme() continues exactly where the
+    # interrupted one stopped instead of replaying the whole scheme
+    scheme_op_index: int = field(init=False, default=0)
+    scheme_op_done: int = field(init=False, default=0)
     total_sweeps: float = field(init=False, default=0.0)
     sample_time: float = field(init=False, default=0.0)
     last_n_blocks: int = field(init=False, default=0)
@@ -311,11 +345,15 @@ class Engine:
     def set_dynamic(self) -> None:
         self._dynamic = True
 
-    def run(self, method: str, iterations: int, thinning: int) -> None:
+    def run(
+        self, method: str, iterations: int, thinning: int, start: int = 0
+    ) -> None:
         """One F/M phase of `iterations` sweeps with record thinning.
 
         Uses the fully on-device scanned phase (one dispatch, no per-sweep
-        host syncs) unless a record stream needs per-sweep block arrays."""
+        host syncs) unless a record stream needs per-sweep block arrays.
+        ``start`` offsets the thinning counter when resuming a phase whose
+        first ``start`` sweeps already ran (checkpoint resume)."""
         if iterations <= 0:
             return
         needs_blocks = self.records is not None and bool(
@@ -334,19 +372,24 @@ class Engine:
         with prof:
             if needs_blocks:
                 for i in range(iterations):
-                    do_record = thinning > 0 and (i + 1) % thinning == 0
+                    do_record = thinning > 0 and (start + i + 1) % thinning == 0
                     self._one_sweep(method, do_record)
+                    self.scheme_op_done = start + i + 1
+                    self._maybe_checkpoint()
             else:
-                self._run_phase_scanned(method, iterations, thinning)
+                self._run_phase_scanned(method, iterations, thinning, start)
             jax.block_until_ready(self.model.theta_mean)
         self.sample_time += time.time() - t0
         self.total_sweeps += iterations
 
-    def _run_phase_scanned(self, method: str, iterations: int, thinning: int) -> None:
+    def _run_phase_scanned(
+        self, method: str, iterations: int, thinning: int, start: int = 0
+    ) -> None:
         recording = thinning > 0
-        done = 0
-        while done < iterations:
-            n = min(PHASE_CHUNK, iterations - done)
+        done = start
+        end = start + iterations
+        while done < end:
+            n = min(PHASE_CHUNK, end - done)
             key = self._next_key()
             while True:
                 # snapshot buffers so an overflow replay cannot double-record
@@ -391,6 +434,7 @@ class Engine:
                         self.records.record_theta(means_h[i], varis_h[i])
             done += n
             self.sweeps_completed += n
+            self.scheme_op_done = done
             # the block count drops sharply after burn-in; shrink the
             # compiled capacity to track it (grows back via replay if needed)
             target = min(self.ing.T, _round_capacity(max_nb + max_nb // 2 + 64))
@@ -457,16 +501,7 @@ class Engine:
                 )
 
     def run_scheme(self, tokens: list[str]) -> None:
-        for op in parse_scheme(tokens):
-            if op[0] == "prior":
-                self.sample_prior()
-            elif op[0] == "static":
-                self.set_static()
-            elif op[0] == "dynamic":
-                self.set_dynamic()
-            else:
-                _, method, iters, thin = op
-                self.run(method, iters, thin)
+        run_scheme_resumable(self, tokens)
 
     def finalize(self) -> None:
         if self.records is not None:

@@ -58,3 +58,74 @@ def test_periodic_checkpoint(tmp_path):
     e.checkpoint_every = 32
     e.run("M", 64, 0)
     assert (tmp_path / "auto.npz").exists()
+
+
+def test_scheme_resume_skips_completed_ops(tmp_path):
+    """A checkpoint taken mid-scheme resumes at the scheme cursor: no op is
+    replayed, the marginal counts match the uninterrupted run bit-exactly."""
+    tokens = ["M", "8", "0", "F", "16", "2"]
+    data = _data()
+    ck = str(tmp_path / "mid.npz")
+
+    e1 = make_engine(data, nr_params=3, seed=11)
+    e1.run_scheme(tokens)
+
+    # simulate an interruption right after the M phase: execute the scheme
+    # prefix exactly as run_scheme would, then checkpoint with the cursor
+    # pointing at the F op (ops: [prior, M-run, F-run] -> index 2)
+    e2 = make_engine(data, nr_params=3, seed=11)
+    e2.sample_prior()
+    e2.run("M", 8, 0)
+    e2.scheme_op_index, e2.scheme_op_done = 2, 0
+    save_checkpoint(e2, ck)
+
+    e3 = make_engine(data, nr_params=3, seed=11)
+    restore_checkpoint(e3, ck)
+    e3.run_scheme(tokens)
+
+    np.testing.assert_array_equal(
+        np.asarray(e1.buffers.counts), np.asarray(e3.buffers.counts)
+    )
+    assert int(e3.buffers.n_records) == int(e1.buffers.n_records) == 8
+    # cursor resets after a completed scheme so a second run_scheme is fresh
+    assert (e3.scheme_op_index, e3.scheme_op_done) == (0, 0)
+
+
+def test_sharded_checkpoint_resume(tmp_path):
+    from hammlet_tpu.checkpoint import (
+        restore_sharded_checkpoint,
+        save_sharded_checkpoint,
+    )
+    from hammlet_tpu.parallel import make_sharded_engine, position_mesh
+
+    data = _data(4096, seed=6)
+    ck = str(tmp_path / "sharded.npz")
+
+    def build():
+        return make_sharded_engine(
+            data, mesh=position_mesh(4), nr_params=3, seed=5
+        )
+
+    e1 = build()
+    e1.run("M", 32, 0)
+    e1.run("F", 32, 4)
+
+    e2 = build()
+    e2.run("M", 32, 0)
+    save_sharded_checkpoint(e2, ck)
+    e3 = build()
+    restore_sharded_checkpoint(e3, ck)
+    e3.run("F", 32, 4)
+
+    np.testing.assert_array_equal(np.asarray(e1.counts), np.asarray(e3.counts))
+    np.testing.assert_array_equal(
+        np.asarray(e1.model.theta_mean), np.asarray(e3.model.theta_mean)
+    )
+    assert int(np.asarray(e3.n_rec)) == 8
+
+    # mesh-size mismatch is rejected
+    import pytest
+
+    e8 = make_sharded_engine(data, mesh=position_mesh(8), nr_params=3, seed=5)
+    with pytest.raises(ValueError):
+        restore_sharded_checkpoint(e8, ck)
