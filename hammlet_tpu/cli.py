@@ -124,7 +124,9 @@ def _run(args: dict[str, list[str]]) -> int:
         return v if v else _DEFAULTS.get(flag, [])
 
     if "-h" in args:
-        print(__doc__)
+        from hammlet_tpu.manpage import print_manpage
+
+        print_manpage()
         return 0
 
     verbose = "-v" in args
