@@ -157,6 +157,10 @@ def _run(args: dict[str, list[str]]) -> int:
     if len(s_tokens) == 1:
         nr_params, nr_dim = int(s_tokens[0]), 1
     else:
+        if s_tokens[0] in ("I", "independent"):
+            # accepted by the reference's parser but unimplemented there too
+            # (Mapping.hpp:110-111)
+            raise ValueError('Mapping type "independent" not implemented yet!')
         if s_tokens[0] not in ("C", "combinations"):
             raise ValueError(f"Unknown mapping type {s_tokens[0]}!")
         nr_params = int(s_tokens[1])

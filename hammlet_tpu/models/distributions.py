@@ -87,6 +87,30 @@ def emission_log_weights(
     return ip - sizes.astype(jnp.float32)[:, None] * C[None, :]
 
 
+def emission_log_weights_t(
+    block_stats: jax.Array,
+    sizes: jax.Array,
+    theta_mean: jax.Array,
+    theta_var: jax.Array,
+    mapping: jax.Array,
+) -> jax.Array:
+    """emission_log_weights in transposed layout: returns (K, B) with the
+    block axis minor (TPU-tile friendly; a (B, K) array with K small pads
+    K -> 128 lanes)."""
+    a = theta_mean / theta_var
+    b = 0.5 / theta_var
+    c = 0.5 * jnp.log(theta_var) + theta_mean**2 * b
+    A = a[mapping]  # (K, dim)
+    Bc = b[mapping]
+    C = jnp.sum(c[mapping], axis=1)  # (K,)
+    sums_t = block_stats[..., 0].T  # (dim, B)
+    sumsqs_t = block_stats[..., 1].T
+    ip = jnp.einsum(
+        "kd,db->kb", A, sums_t, preferred_element_type=jnp.float32
+    ) - jnp.einsum("kd,db->kb", Bc, sumsqs_t, preferred_element_type=jnp.float32)
+    return ip - C[:, None] * sizes.astype(jnp.float32)[None, :]
+
+
 # -- Beta / Geometric family -------------------------------------------------
 # The reference carries a Geometric-emission/Beta-conjugate family in its
 # probability kernel (SufficientStatistics.hpp:310-388, Conjugate.hpp:209-215,

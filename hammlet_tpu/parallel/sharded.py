@@ -55,14 +55,14 @@ from hammlet_tpu.models.hmm import (
     resample_model,
     sample_from_priors,
 )
-from hammlet_tpu.models.distributions import emission_log_weights
+from hammlet_tpu.models.distributions import emission_log_weights_t
 from hammlet_tpu.ops.blocks import build_prefix_stats
 from hammlet_tpu.ops.wavelet import breakpoint_weights, maxlet_transform
 from hammlet_tpu.parallel.mesh import POS_AXIS, position_mesh
 from hammlet_tpu.samplers.forward_backward import (
     _scaled_matmul,
-    prefix_matmul_scan,
-    suffix_compose_scan,
+    prefix_matmul_scan_t,
+    suffix_compose_scan_t,
 )
 from hammlet_tpu.samplers.sweep import accumulate_sweep_stats
 
@@ -77,7 +77,7 @@ def _sharded_sweep_body(
     r_l,  # (T_local + 1,) local in-cell reverse prefix (extra right-edge row)
     q2_hi,  # (n_cells + 1, dim, 2) replicated
     q2_lo,
-    counts_l,  # (T_local, K) local marginal counts
+    counts_l,  # (K, T_local) local marginal counts (position axis minor)
     everb_l,  # (T_local,) local boundary union
     n_rec,
     do_record,
@@ -162,31 +162,32 @@ def _sharded_sweep_body(
     k_z, k_model, k_local = jax.random.split(key, 3)
     k_maps = jax.random.fold_in(k_local, k)
 
-    log_e = emission_log_weights(
+    # transposed (K, B) layout throughout: block axis minor (TPU tiles)
+    log_e_t = emission_log_weights_t(
         bstats, sizes, model.theta_mean, model.theta_var, mapping
     )
 
     nb_all = jax.lax.all_gather(nb_l, POS_AXIS)  # (P,)
 
     if method == "M":
-        gumbel = jax.random.gumbel(k_maps, (cap_local, K), dtype=jnp.float32)
+        gumbel = jax.random.gumbel(k_maps, (K, cap_local), dtype=jnp.float32)
         z_l = jnp.where(
-            valid_b, jnp.argmax(log_e + gumbel, axis=1).astype(jnp.int32), 0
+            valid_b, jnp.argmax(log_e_t + gumbel, axis=0).astype(jnp.int32), 0
         )
     elif method == "F":
         sizes_f = sizes.astype(jnp.float32)
         log_a_ss = jnp.log(jnp.diagonal(model.A))
-        E = log_e
+        E = log_e_t
         if use_self_transitions:
-            E = E + (sizes_f[:, None] - 1.0) * log_a_ss[None, :]
-        e_w = jnp.exp(E - jnp.max(E, axis=1, keepdims=True))
-        M = model.A[None, :, :] * e_w[:, None, :]
+            E = E + (sizes_f[None, :] - 1.0) * log_a_ss[:, None]
+        e_w = jnp.exp(E - jnp.max(E, axis=0, keepdims=True))  # (K, B)
+        M = model.A[:, :, None] * e_w[None, :, :]  # (K, K, B)
         M = jnp.where(
-            valid_b[:, None, None], M, jnp.eye(K, dtype=M.dtype)[None]
+            valid_b[None, None, :], M, jnp.eye(K, dtype=M.dtype)[:, :, None]
         )
 
-        L = prefix_matmul_scan(M)
-        tots_all = jax.lax.all_gather(L[-1], POS_AXIS)  # (P, K, K)
+        L = prefix_matmul_scan_t(M)  # (K, K, B)
+        tots_all = jax.lax.all_gather(L[:, :, -1], POS_AXIS)  # (P, K, K)
 
         pre = jax.lax.fori_loop(
             0,
@@ -196,11 +197,10 @@ def _sharded_sweep_body(
             ),
             jnp.eye(K, dtype=jnp.float32),
         )
-        alpha = jnp.einsum(
-            "i,bij->bj", model.pi @ pre, L, preferred_element_type=jnp.float32
-        )
+        v_pre = model.pi @ pre  # (K,)
+        alpha = jnp.sum(v_pre[:, None, None] * L, axis=0)  # (K, B)
         alpha = alpha / jnp.maximum(
-            jnp.sum(alpha, axis=1, keepdims=True), jnp.float32(1e-35)
+            jnp.sum(alpha, axis=0, keepdims=True), jnp.float32(1e-35)
         )
 
         all_prod = jax.lax.fori_loop(
@@ -213,11 +213,11 @@ def _sharded_sweep_body(
         last_col = v_last / jnp.maximum(jnp.sum(v_last), jnp.float32(1e-35))
 
         m_star = jnp.max(jnp.where(nb_all > 0, shard_ids, -1))
-        is_global_last = (k == m_star) & is_last_real
+        is_global_last = (k == m_star) & is_last_real  # (B,)
 
         if use_self_transitions:
-            scale = jnp.exp((sizes_f[:, None] - 1.0) * log_a_ss[None, :])
-            cols = jnp.where(is_global_last[:, None], alpha, alpha * scale)
+            scale = jnp.exp((sizes_f[None, :] - 1.0) * log_a_ss[:, None])
+            cols = jnp.where(is_global_last[None, :], alpha, alpha * scale)
         else:
             cols = alpha
 
@@ -226,21 +226,21 @@ def _sharded_sweep_body(
         )[0]
 
         logits = (
-            jnp.log(jnp.maximum(cols, jnp.float32(1e-38)))[:, :, None]
-            + jnp.log(jnp.maximum(model.A, jnp.float32(1e-38)))[None, :, :]
-        )
+            jnp.log(jnp.maximum(cols, jnp.float32(1e-38)))[:, None, :]
+            + jnp.log(jnp.maximum(model.A, jnp.float32(1e-38)))[:, :, None]
+        )  # (i, j, b)
         gumbel = jax.random.gumbel(
-            k_maps, (cap_local, K, K), dtype=jnp.float32
+            k_maps, (K, K, cap_local), dtype=jnp.float32
         )
-        pred = jnp.argmax(logits + gumbel, axis=1).astype(jnp.int32)
+        pred = jnp.argmax(logits + gumbel, axis=0).astype(jnp.int32)  # (j, b)
         ident = jnp.broadcast_to(
-            jnp.arange(K, dtype=jnp.int32), (cap_local, K)
+            jnp.arange(K, dtype=jnp.int32)[:, None], (K, cap_local)
         )
-        use_pred = valid_b[:, None] & (~is_global_last[:, None])
-        maps = jnp.where(use_pred, pred, ident)
+        use_pred = valid_b[None, :] & (~is_global_last[None, :])
+        maps = jnp.where(use_pred, pred, ident)  # (K, B)
 
-        r_suffix = suffix_compose_scan(maps)
-        tmaps_all = jax.lax.all_gather(r_suffix[0], POS_AXIS)  # (P, K)
+        r_suffix = suffix_compose_scan_t(maps)  # (K, B)
+        tmaps_all = jax.lax.all_gather(r_suffix[:, 0], POS_AXIS)  # (P, K)
 
         after = jax.lax.fori_loop(
             0,
@@ -250,7 +250,7 @@ def _sharded_sweep_body(
             ),
             jnp.arange(K, dtype=jnp.int32),
         )
-        z_l = r_suffix[:, after[z_last]]
+        z_l = jnp.take(r_suffix, after[z_last], axis=0)  # (B,)
     else:  # pragma: no cover
         raise ValueError(f"unknown sampling method {method!r}")
 
@@ -287,26 +287,29 @@ def _sharded_sweep_body(
 
     # ---- recording (sharded) --------------------------------------------
     overflow = jnp.max(nb_all) > cap_local
-    pos_idx = jnp.arange(T_local)
 
     def do_rec(args):
+        """O(#local blocks) boundary-difference recording (see
+        samplers.sweep.record_sweep): +1 at each local block start with its
+        state, -1 with the PREVIOUS state — the previous state of a shard's
+        first block is the carried cross-shard state, which also closes the
+        block spanning in from earlier shards. Decoding is a global cumsum
+        along the position axis at save time (cross-shard carry included)."""
         counts_l, everb_l, n_rec = args
-        marks = jnp.zeros((T_local,), jnp.int32).at[lstarts].add(
-            valid_b.astype(jnp.int32), mode="drop"
+        z_prev = jnp.concatenate([carry_state[None], z_l[:-1]])
+        oob = jnp.int32(K * T_local)
+        flat = counts_l.reshape(-1)
+        valid_s = valid_b & (gstarts < T)
+        inc = jnp.where(valid_s, z_l * T_local + lstarts, oob)
+        flat = flat.at[inc].add(1, mode="drop")
+        dec_ok = valid_s & (gstarts > 0)
+        dec = jnp.where(dec_ok, z_prev * T_local + lstarts, oob)
+        flat = flat.at[dec].add(-1, mode="drop")
+        chg = dec_ok & (z_l != z_prev)
+        everb_l = everb_l.at[jnp.where(chg, lstarts, T_local)].set(
+            True, mode="drop"
         )
-        block_id = jnp.cumsum(marks) - 1
-        pos_state = jnp.where(
-            block_id < 0, carry_state, z_l[jnp.maximum(block_id, 0)]
-        )
-        in_data = (shard_start + pos_idx) < T
-        onehot = (
-            pos_state[:, None] == jnp.arange(K, dtype=pos_state.dtype)[None, :]
-        ) & in_data[:, None]
-        counts_l = counts_l + onehot.astype(counts_l.dtype)
-        prev_state = jnp.concatenate([carry_state[None], pos_state[:-1]])
-        changed = (pos_state != prev_state) & in_data
-        changed = changed & ((shard_start + pos_idx) > 0)
-        return counts_l, everb_l | changed, n_rec + 1
+        return flat.reshape(K, T_local), everb_l, n_rec + 1
 
     counts_l, everb_l, n_rec = jax.lax.cond(
         do_record & ~overflow, do_rec, lambda a: a, (counts_l, everb_l, n_rec)
@@ -341,10 +344,11 @@ def build_sharded_sweep(
     )
     rep = P()
     sh = P(POS_AXIS)
+    cnt = P(None, POS_AXIS)  # (K, T) counts: position axis sharded, minor
     specs = dict(
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
-        out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, cnt, sh, rep, rep, rep, rep),
+        out_specs=(rep, cnt, sh, rep, sh, sh, sh, rep),
     )
     try:
         fn = shard_map(body, check_vma=False, **specs)
@@ -382,10 +386,11 @@ def build_sharded_phase(
     )
     rep = P()
     sh = P(POS_AXIS)
+    cnt = P(None, POS_AXIS)  # (K, T) counts: position axis sharded, minor
     specs = dict(
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
-        out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, cnt, sh, rep, rep, rep, rep),
+        out_specs=(rep, cnt, sh, rep, sh, sh, sh, rep),
     )
     try:
         sweep = shard_map(body, check_vma=False, **specs)
@@ -453,7 +458,8 @@ class ShardedEngine:
         K = self.spec.nr_states
         T_pad = self.T_local * self.n_shards
         shard = NamedSharding(self.mesh, P(POS_AXIS))
-        self.counts = jax.device_put(jnp.zeros((T_pad, K), jnp.int32), shard)
+        cnt_shard = NamedSharding(self.mesh, P(None, POS_AXIS))
+        self.counts = jax.device_put(jnp.zeros((K, T_pad), jnp.int32), cnt_shard)
         self.everb = jax.device_put(jnp.zeros((T_pad,), bool), shard)
         self.n_rec = jnp.zeros((), jnp.int32)
         self.model = sample_from_priors(self._next_key(), self.priors)
@@ -694,10 +700,18 @@ class ShardedEngine:
     def finalize(self):
         if self.records is not None:
             self.records.save_marginals(
-                np.asarray(self.counts)[: self.T],
+                self.marginal_counts.T,
                 np.asarray(self.everb)[: self.T],
             )
             self.records.close()
+
+    @property
+    def marginal_counts(self) -> np.ndarray:
+        """(K, T) decoded marginal state counts (cumsum of the sharded
+        boundary-difference accumulator along the global position axis)."""
+        return np.cumsum(
+            np.asarray(self.counts).astype(np.int64), axis=1
+        )[:, : self.T].astype(np.int32)
 
     @property
     def sweeps_per_second(self) -> float:

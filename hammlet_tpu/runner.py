@@ -101,18 +101,21 @@ def compact_marginals(buffers) -> tuple[np.ndarray, np.ndarray]:
     buffer is GBs, its RLE form is KBs-MBs).
 
     Returns (starts, seg_counts) as host arrays; segment i covers
-    [starts[i], starts[i+1]) (last ends at T)."""
-    T = buffers.counts.shape[0]
+    [starts[i], starts[i+1]) (last ends at T); seg_counts is (n_seg, K)."""
+    T = buffers.counts.shape[1]
     n_seg = int(np.asarray(jnp.sum(buffers.ever_boundary))) + 1
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def gather(counts, everb, n):
+    def gather(diff, everb, n):
+        # decode the boundary-difference accumulator (one cumsum at save
+        # time instead of an O(T) expansion per recorded sweep)
+        counts = jnp.cumsum(diff, axis=1)
         first = jnp.concatenate([jnp.ones((1,), bool), everb[1:]])
         (starts,) = jnp.nonzero(first, size=n, fill_value=T)
-        return starts.astype(jnp.int32), counts[starts]
+        return starts.astype(jnp.int32), counts[:, starts]
 
     starts, seg_counts = gather(buffers.counts, buffers.ever_boundary, n_seg)
-    return np.asarray(starts), np.asarray(seg_counts)
+    return np.asarray(starts), np.asarray(seg_counts).T
 
 
 def run_scheme_resumable(engine, tokens: list[str]) -> None:
@@ -517,6 +520,14 @@ class Engine:
     # streams (Records.hpp:204-210); these are kept, plus first-class
     # throughput counters and an optional on-device profiler trace
     # (set HAMMLET_PROFILE=<dir> to capture a jax.profiler trace per phase).
+
+    @property
+    def marginal_counts(self) -> np.ndarray:
+        """(K, T) decoded marginal state counts (cumsum of the
+        boundary-difference accumulator)."""
+        return np.cumsum(
+            np.asarray(self.buffers.counts).astype(np.int64), axis=1
+        ).astype(np.int32)
 
     @property
     def sweeps_per_second(self) -> float:

@@ -10,8 +10,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hammlet_tpu.models.distributions import emission_log_weights
-
 
 def mixture_sample_states(
     key: jax.Array,
@@ -22,9 +20,15 @@ def mixture_sample_states(
     theta_var: jax.Array,
     mapping: jax.Array,
 ) -> jax.Array:
-    """(B,) int32 per-block states (padded blocks get state 0; mask later)."""
-    log_e = emission_log_weights(block_stats, sizes, theta_mean, theta_var, mapping)
-    B, K = log_e.shape
-    gumbel = jax.random.gumbel(key, (B, K), dtype=jnp.float32)
-    states = jnp.argmax(log_e + gumbel, axis=1).astype(jnp.int32)
+    """(B,) int32 per-block states (padded blocks get state 0; mask later).
+
+    Runs in transposed (K, B) layout (block axis minor, TPU-tile friendly)."""
+    from hammlet_tpu.models.distributions import emission_log_weights_t
+
+    log_e_t = emission_log_weights_t(
+        block_stats, sizes, theta_mean, theta_var, mapping
+    )
+    K, B = log_e_t.shape
+    gumbel = jax.random.gumbel(key, (K, B), dtype=jnp.float32)
+    states = jnp.argmax(log_e_t + gumbel, axis=0).astype(jnp.int32)
     return jnp.where(jnp.arange(B) < n_blocks, states, 0)

@@ -36,6 +36,41 @@ def test_suffix_compose_blocked_matches_plain():
     np.testing.assert_array_equal(np.asarray(blocked), np.asarray(plain))
 
 
+def test_prefix_matmul_transposed_matches_plain():
+    from hammlet_tpu.samplers.forward_backward import prefix_matmul_scan_t
+
+    rng = np.random.default_rng(3)
+    for B in (96, 512):  # non-pow2 and pow2
+        K = 3
+        M = jnp.asarray(
+            rng.uniform(0.1, 1.0, size=(B, K, K)).astype(np.float32)
+        )
+        t = prefix_matmul_scan_t(jnp.transpose(M, (1, 2, 0)))
+        plain = jax.lax.associative_scan(_scaled_matmul, M, axis=0)
+        pi = jnp.asarray(rng.dirichlet(np.ones(K)).astype(np.float32))
+        a1 = jnp.einsum("i,ijb->bj", pi, t)
+        a2 = jnp.einsum("i,bij->bj", pi, plain)
+        a1 = a1 / a1.sum(axis=1, keepdims=True)
+        a2 = a2 / a2.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(
+            np.asarray(a1), np.asarray(a2), rtol=5e-4, atol=1e-6
+        )
+
+
+def test_suffix_compose_transposed_matches_plain():
+    from hammlet_tpu.samplers.forward_backward import suffix_compose_scan_t
+
+    rng = np.random.default_rng(4)
+    for B in (100, 640):
+        K = 4
+        maps = jnp.asarray(rng.integers(0, K, size=(B, K)).astype(np.int32))
+        t = suffix_compose_scan_t(maps.T)
+        plain = jax.lax.associative_scan(
+            _compose_maps_rev, maps, axis=0, reverse=True
+        )
+        np.testing.assert_array_equal(np.asarray(t).T, np.asarray(plain))
+
+
 def test_suffix_compose_sequential_oracle():
     rng = np.random.default_rng(2)
     B, K = 384, 3

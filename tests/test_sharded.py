@@ -124,9 +124,9 @@ def test_sharded_count_invariants(mesh8):
     data, _ = synth(T=2048, seed=1)
     e = make_sharded_engine(data, mesh=mesh8, nr_params=3, seed=2)
     e.run_scheme("M 10 0 F 10 1".split())
-    counts = np.asarray(e.counts)[: e.T]
-    assert (counts.sum(axis=1) == 10).all()
+    counts = e.marginal_counts
+    assert (counts.sum(axis=0) == 10).all()
     assert int(np.asarray(e.n_rec)) == 10
-    # padding rows untouched
-    pad = np.asarray(e.counts)[e.T :]
+    # padding columns of the raw difference accumulator untouched
+    pad = np.asarray(e.counts)[:, e.T :]
     assert (pad == 0).all()
