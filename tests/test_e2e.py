@@ -133,6 +133,35 @@ def test_cli_smoke(tmp_path):
     assert (tmp_path / "data-parameters.csv").exists()
 
 
+def test_cli_sharded_with_checkpoint(tmp_path):
+    """-D engages the position-sharded engine; -C checkpoints it; a rerun
+    with the checkpoint present resumes (scheme complete -> no-op) and the
+    marginals stay valid."""
+    data, _, _ = synth_data(T=1500, seed=9)
+    fn = tmp_path / "data.csv"
+    np.savetxt(fn, data)
+    ck = tmp_path / "run.ckpt"
+    argv = [
+        "-f", str(fn), "-s", "3", "-a", "-R", "4", "-D", "2",
+        "-i", "M", "8", "0", "F", "12", "2", "-O", "marginals", "-w",
+        "-C", str(ck), "4",
+    ]
+    assert cli_main(argv) == 0
+    assert ck.exists()
+    first = (tmp_path / "data-marginals.csv").read_text()
+    rows = [list(map(int, l.split("\t"))) for l in first.splitlines()]
+    assert all(sum(r[1:]) == 6 for r in rows)
+    assert sum(r[0] for r in rows) == 1500
+
+    # resume from the final checkpoint: nothing left to run, output intact
+    assert cli_main(argv) == 0
+    rows2 = [
+        list(map(int, l.split("\t")))
+        for l in (tmp_path / "data-marginals.csv").read_text().splitlines()
+    ]
+    assert all(sum(r[1:]) == 6 for r in rows2)
+
+
 def test_format_parity_with_reference(tmp_path, ref_binary):
     """Run the compiled reference and our CLI on the same data and compare
     output file shapes and marginal row invariants."""
