@@ -52,6 +52,48 @@ def nig_sample(key: jax.Array, params: jax.Array) -> tuple[jax.Array, jax.Array]
     return mean, var
 
 
+def gamma_fixed_tries(
+    key: jax.Array, alphas: jax.Array, tries: int = 8
+) -> jax.Array:
+    """Gamma(alpha, 1) draws with a FIXED-depth Marsaglia-Tsang rejection
+    sampler (no lax.while_loop).
+
+    ``jax.random.gamma``'s rejection loop is a sequential while_loop whose
+    latency dominated the per-sweep conjugate model update on TPU (~3 ms for
+    ~15 variates). Marsaglia-Tsang squeeze acceptance is >= 0.95 per try for
+    alpha >= 1, so ``tries`` independent proposals leave a < 1e-10
+    probability of total rejection; the (then unbiased-to-float-precision)
+    fallback is the distribution mode. alpha < 1 uses the standard
+    alpha+1 boost: G(a) = G(a+1) * U^(1/a).
+    """
+    a = jnp.asarray(alphas, jnp.float32)
+    shape = a.shape
+    boost_needed = a < 1.0
+    a_eff = jnp.where(boost_needed, a + 1.0, a)
+
+    d = a_eff - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+
+    k_n, k_u, k_b = jax.random.split(key, 3)
+    x = jax.random.normal(k_n, (tries,) + shape, dtype=jnp.float32)
+    u = jax.random.uniform(
+        k_u, (tries,) + shape, dtype=jnp.float32, minval=1e-38
+    )
+    v = (1.0 + c * x) ** 3
+    ok = (v > 0.0) & (
+        jnp.log(u) < 0.5 * x * x + d - d * v + d * jnp.log(jnp.maximum(v, 1e-38))
+    )
+    cand = d * jnp.maximum(v, 0.0)
+    # first accepted proposal; fall back to the mode (= d) if all rejected
+    first = jnp.argmax(ok, axis=0)
+    any_ok = jnp.any(ok, axis=0)
+    g = jnp.where(any_ok, jnp.take_along_axis(cand, first[None], axis=0)[0], d)
+    # boost for alpha < 1
+    ub = jax.random.uniform(k_b, shape, dtype=jnp.float32, minval=1e-38)
+    g = jnp.where(boost_needed, g * ub ** (1.0 / jnp.maximum(a, 1e-6)), g)
+    return g
+
+
 def dirichlet_sample(key: jax.Array, alphas: jax.Array) -> jax.Array:
     """Dirichlet draw(s) via normalized Gammas (Distribution.hpp:116-139).
     alphas: (..., K); normalizes over the last axis."""

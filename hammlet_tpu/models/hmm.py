@@ -126,7 +126,7 @@ def resample_model(
     alphas = jnp.concatenate(
         [nig_post[:, 0], a_post.reshape(-1), pi_post]
     )
-    g = jax.random.gamma(k_gamma, alphas)
+    g = dist.gamma_fixed_tries(k_gamma, alphas)
     var = nig_post[:, 1] / g[:P]
     A_g = g[P : P + K * K].reshape(K, K)
     A = A_g / jnp.sum(A_g, axis=1, keepdims=True)

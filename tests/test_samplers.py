@@ -180,6 +180,28 @@ def test_accumulate_sweep_stats_matches_golden():
         )
 
 
+def test_gamma_fixed_tries_moments():
+    """The fixed-depth Marsaglia-Tsang sampler matches Gamma(a, 1) moments
+    across the alpha regimes the model update uses (Dirichlet pseudo-counts
+    ~0.5, posterior counts in the thousands)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hammlet_tpu.models.distributions import gamma_fixed_tries
+
+    n = 200_000
+    for i, a in enumerate([0.5, 1.0, 3.5, 120.0, 5e4]):
+        key = jax.random.PRNGKey(100 + i)
+        g = np.asarray(
+            gamma_fixed_tries(key, jnp.full((n,), a, jnp.float32))
+        ).astype(np.float64)
+        assert (g > 0).all()
+        # mean = a, var = a; ~4 sigma tolerances
+        se_mean = np.sqrt(a / n)
+        assert abs(g.mean() - a) < 5 * se_mean, (a, g.mean())
+        assert abs(g.var() - a) / a < 0.05, (a, g.var())
+
+
 def test_beta_geometric_family():
     """Beta/Geometric conjugate family (capability parity with the
     reference's unwired Geometric emission layer)."""
