@@ -294,14 +294,20 @@ def make_blocks_bucketed(
     """Block structure from pre-sorted bucket candidates — no per-sweep sort.
 
     Identical to make_blocks_ranked for any threshold whose boundary count
-    fits the bucket (otherwise n_blocks > capacity flags the overflow)."""
+    fits the bucket (otherwise n_blocks > capacity flags the overflow).
+    Compaction of the valid candidates is an explicit cumsum + scatter
+    (jnp.nonzero lowers to a sort on TPU, measurably slower)."""
     T = ranked.pos_by_rank.shape[0]
     capacity = cand_rank.shape[0]
     n_blocks = jnp.searchsorted(
         ranked.neg_w_sorted, -threshold, side="right"
     ).astype(jnp.int32)
     valid = cand_rank < n_blocks
-    (sel,) = jnp.nonzero(valid, size=capacity, fill_value=capacity)
+    csum = jnp.cumsum(valid.astype(jnp.int32))
+    sel = jnp.full((capacity,), capacity, jnp.int32)
+    sel = sel.at[jnp.where(valid, csum - 1, capacity)].set(
+        jnp.arange(capacity, dtype=jnp.int32), mode="drop"
+    )
     starts = cand_pos[sel]  # padded entries hit the T sentinel
     ends = jnp.concatenate([starts[1:], jnp.full((1,), T, dtype=jnp.int32)])
     return BlockStructure(starts, ends, ends - starts, n_blocks)

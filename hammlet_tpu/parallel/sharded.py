@@ -118,7 +118,11 @@ def _sharded_sweep_body(
     # per-sweep work is a binary search + masked nonzero) ----
     nb_l = jnp.searchsorted(negw_l, -thr, side="right").astype(jnp.int32)
     valid_c = candrank_l < nb_l
-    (sel,) = jnp.nonzero(valid_c, size=cap_local, fill_value=cap_local)
+    csum = jnp.cumsum(valid_c.astype(jnp.int32))
+    sel = jnp.full((cap_local,), cap_local, jnp.int32)
+    sel = sel.at[jnp.where(valid_c, csum - 1, cap_local)].set(
+        jnp.arange(cap_local, dtype=jnp.int32), mode="drop"
+    )
     lstarts = candpos_l[sel]  # padded entries hit the T_local sentinel
     gstarts = lstarts + shard_start  # padded -> shard_end
     bidx = jnp.arange(cap_local)
