@@ -634,13 +634,18 @@ class ShardedEngine:
                 if backup is not None:
                     self.counts, self.everb, self.n_rec = backup
             if self.records is not None and recording:
-                means_h = np.asarray(means)
-                varis_h = np.asarray(varis)
-                totals = nbs_h.sum(axis=1)
-                for i in range(n):
-                    if (done + i + 1) % thinning == 0:
-                        self.records.record_compression(int(totals[i]))
-                        self.records.record_theta(means_h[i], varis_h[i])
+                wants_comp = "compression" in self.records.enabled
+                wants_params = "parameters" in self.records.enabled
+                if wants_comp or wants_params:
+                    totals = nbs_h.sum(axis=1)
+                    means_h = np.asarray(means) if wants_params else None
+                    varis_h = np.asarray(varis) if wants_params else None
+                    for i in range(n):
+                        if (done + i + 1) % thinning == 0:
+                            if wants_comp:
+                                self.records.record_compression(int(totals[i]))
+                            if wants_params:
+                                self.records.record_theta(means_h[i], varis_h[i])
             done += n
             self.sweeps_completed += n
             self.scheme_op_done = done

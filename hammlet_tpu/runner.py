@@ -431,19 +431,28 @@ class Engine:
                 self.capacity = min(self.ing.T, _round_capacity(2 * max_nb))
                 self.buffers = backup if backup is not None else buffers
             if self.records is not None and recording:
-                means_h = np.asarray(means)
-                varis_h = np.asarray(varis)
-                nbs_h = np.asarray(nbs)
-                for i in range(n):
-                    if (done + i + 1) % thinning == 0:
-                        self.records.record_compression(int(nbs_h[i]))
-                        self.records.record_theta(means_h[i], varis_h[i])
+                # transfer per-sweep trajectories only for enabled streams
+                # (each np.asarray is a blocking host round-trip)
+                wants_comp = "compression" in self.records.enabled
+                wants_params = "parameters" in self.records.enabled
+                if wants_comp or wants_params:
+                    nbs_h = np.asarray(nbs)
+                    means_h = np.asarray(means) if wants_params else None
+                    varis_h = np.asarray(varis) if wants_params else None
+                    for i in range(n):
+                        if (done + i + 1) % thinning == 0:
+                            if wants_comp:
+                                self.records.record_compression(int(nbs_h[i]))
+                            if wants_params:
+                                self.records.record_theta(means_h[i], varis_h[i])
             done += n
             self.sweeps_completed += n
             self.scheme_op_done = done
             # the block count drops sharply after burn-in; shrink the
-            # compiled capacity to track it (grows back via replay if needed)
-            target = min(self.ing.T, _round_capacity(max_nb + max_nb // 2 + 64))
+            # compiled capacity to track it (grows back via replay if needed).
+            # 12.5% headroom: per-sweep cost is ~linear in capacity, and an
+            # occasional overflow replay is cheaper than a permanent rung up
+            target = min(self.ing.T, _round_capacity(max_nb + max_nb // 8 + 64))
             if target < self.capacity:
                 self.capacity = target
             self._maybe_checkpoint()
