@@ -649,6 +649,14 @@ class ShardedEngine:
             done += n
             self.sweeps_completed += n
             self.scheme_op_done = done
+            # track the falling block count after burn-in (mirrors
+            # runner.Engine: ~linear per-sweep cost in cap_local; grows
+            # back via same-key replay on overflow)
+            target = min(
+                self.T_local, _round_capacity(max_nb + max_nb // 8 + 64)
+            )
+            if target < self.cap_local:
+                self.cap_local = target
             self._maybe_checkpoint()
 
     def _one_sweep(self, method: str, do_record: bool):
