@@ -292,32 +292,30 @@ def _sharded_sweep_body(
     # ---- recording (sharded) --------------------------------------------
     overflow = jnp.max(nb_all) > cap_local
 
-    def do_rec(args):
-        """O(#local blocks) boundary-difference recording (see
-        samplers.sweep.record_sweep): +1 at each local block start with its
-        state, -1 with the PREVIOUS state — the previous state of a shard's
-        first block is the carried cross-shard state, which also closes the
-        block spanning in from earlier shards. Decoding is a global cumsum
-        along the position axis at save time (cross-shard carry included)."""
-        counts_l, everb_l, n_rec = args
-        z_prev = jnp.concatenate([carry_state[None], z_l[:-1]])
-        oob = jnp.int32(K * T_local)
-        flat = counts_l.reshape(-1)
-        valid_s = valid_b & (gstarts < T)
-        inc = jnp.where(valid_s, z_l * T_local + lstarts, oob)
-        flat = flat.at[inc].add(1, mode="drop")
-        dec_ok = valid_s & (gstarts > 0)
-        dec = jnp.where(dec_ok, z_prev * T_local + lstarts, oob)
-        flat = flat.at[dec].add(-1, mode="drop")
-        chg = dec_ok & (z_l != z_prev)
-        everb_l = everb_l.at[jnp.where(chg, lstarts, T_local)].set(
-            True, mode="drop"
-        )
-        return flat.reshape(K, T_local), everb_l, n_rec + 1
-
-    counts_l, everb_l, n_rec = jax.lax.cond(
-        do_record & ~overflow, do_rec, lambda a: a, (counts_l, everb_l, n_rec)
+    # O(#local blocks) boundary-difference recording (see
+    # samplers.sweep.record_sweep): +1 at each local block start with its
+    # state, -1 with the PREVIOUS state — the previous state of a shard's
+    # first block is the carried cross-shard state, which also closes the
+    # block spanning in from earlier shards. Decoding is a global cumsum
+    # along the position axis at save time (cross-shard carry included).
+    # Runs unconditionally, predicated by pushing indices out of bounds
+    # (a lax.cond here forces whole-buffer copies in the scan body).
+    rec = do_record & ~overflow
+    z_prev = jnp.concatenate([carry_state[None], z_l[:-1]])
+    oob = jnp.int32(K * T_local)
+    flat = counts_l.reshape(-1)
+    valid_s = valid_b & (gstarts < T) & rec
+    inc = jnp.where(valid_s, z_l * T_local + lstarts, oob)
+    flat = flat.at[inc].add(1, mode="drop")
+    dec_ok = valid_s & (gstarts > 0)
+    dec = jnp.where(dec_ok, z_prev * T_local + lstarts, oob)
+    flat = flat.at[dec].add(-1, mode="drop")
+    chg = dec_ok & (z_l != z_prev)
+    everb_l = everb_l.at[jnp.where(chg, lstarts, T_local)].set(
+        True, mode="drop"
     )
+    counts_l = flat.reshape(K, T_local)
+    n_rec = n_rec + jnp.where(rec, 1, 0)
 
     return new_model, counts_l, everb_l, n_rec, z_l, sizes, nb_l[None], thr
 

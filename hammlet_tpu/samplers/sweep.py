@@ -153,6 +153,7 @@ def record_sweep(
     states: jax.Array,
     starts: jax.Array,
     n_blocks: jax.Array,
+    enabled=True,
 ) -> RecordBuffers:
     """Fold one recorded sweep into the marginal buffers.
 
@@ -163,11 +164,17 @@ def record_sweep(
     marginal segment refinement) are exactly the block starts whose state
     differs from the previous block's.
 
+    ``enabled`` (scalar bool) masks the whole update by pushing every index
+    out of bounds — recording runs UNCONDITIONALLY in the sweep and is
+    predicated here instead of under ``lax.cond`` (a cond in the scan body
+    forced whole-buffer copies: ~400 ms per recorded sweep at K=9, T=400k;
+    the masked scatters cost ~0.4 ms).
+
     NOTE: flat indices are int32; valid while K * T < 2^31 (position-sharded
     engines index per shard, so this binds only single-device runs)."""
     K, T = buffers.counts.shape
     B = states.shape[0]
-    valid = jnp.arange(B) < n_blocks
+    valid = (jnp.arange(B) < n_blocks) & enabled
     prev = jnp.concatenate([jnp.zeros((1,), states.dtype), states[:-1]])
     oob = jnp.int32(K * T)
     flat = buffers.counts.reshape(-1)
@@ -183,7 +190,7 @@ def record_sweep(
     return RecordBuffers(
         counts=flat.reshape(K, T),
         ever_boundary=everb,
-        n_records=buffers.n_records + 1,
+        n_records=buffers.n_records + jnp.where(enabled, 1, 0),
     )
 
 
@@ -235,11 +242,9 @@ def _sweep_core(
     new_model = resample_model(k_model, priors, stats)
 
     ok = blocks.n_blocks <= capacity
-    new_buffers = jax.lax.cond(
-        jnp.logical_and(do_record, ok),
-        lambda b: record_sweep(b, states, blocks.starts, blocks.n_blocks),
-        lambda b: b,
-        buffers,
+    new_buffers = record_sweep(
+        buffers, states, blocks.starts, blocks.n_blocks,
+        enabled=jnp.logical_and(do_record, ok),
     )
     outputs = SweepOutputs(states, blocks.sizes, blocks.n_blocks, thr)
     return new_model, new_buffers, outputs
