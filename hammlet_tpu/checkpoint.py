@@ -143,7 +143,6 @@ def restore_sharded_checkpoint(engine, path: str) -> None:
     if z["counts"].shape != tuple(engine.counts.shape):
         raise ValueError("checkpoint shape mismatch (different data or model?)")
     shard = NamedSharding(engine.mesh, P(POS_AXIS))
-    cnt_shard = NamedSharding(engine.mesh, P(None, POS_AXIS))
     engine.sweep_counter = int(z["sweep_counter"])
     engine.sweeps_completed = int(z["sweeps_completed"])
     engine.cap_local = int(z["cap_local"])
@@ -155,7 +154,7 @@ def restore_sharded_checkpoint(engine, path: str) -> None:
         jnp.asarray(z["A"]),
         jnp.asarray(z["pi"]),
     )
-    engine.counts = jax.device_put(jnp.asarray(z["counts"]), cnt_shard)
+    engine.counts = jax.device_put(jnp.asarray(z["counts"]), shard)
     engine.everb = jax.device_put(jnp.asarray(z["everb"]), shard)
     engine.n_rec = jnp.asarray(z["n_rec"])
     engine.scheme_op_index = int(z["scheme_op_index"])

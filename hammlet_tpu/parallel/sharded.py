@@ -77,7 +77,7 @@ def _sharded_sweep_body(
     r_l,  # (T_local + 1,) local in-cell reverse prefix (extra right-edge row)
     q2_hi,  # (n_cells + 1, dim, 2) replicated
     q2_lo,
-    counts_l,  # (K, T_local) local marginal counts (position axis minor)
+    counts_l,  # (K*T_local,) local FLAT marginal diff accumulator
     everb_l,  # (T_local,) local boundary union
     n_rec,
     do_record,
@@ -92,8 +92,11 @@ def _sharded_sweep_body(
     mapping_np: np.ndarray,
     nr_params: int,
     use_self_transitions: bool,
+    record: bool = True,
 ):
-    """Per-shard sweep body (runs under shard_map along the 'pos' axis)."""
+    """Per-shard sweep body (runs under shard_map along the 'pos' axis).
+    ``record`` is STATIC: non-recording phases compile without the
+    marginal-update scatters."""
     nP = jax.lax.axis_size(POS_AXIS)
     k = jax.lax.axis_index(POS_AXIS)
     shard_start = (k * T_local).astype(jnp.int32)
@@ -298,24 +301,24 @@ def _sharded_sweep_body(
     # first block is the carried cross-shard state, which also closes the
     # block spanning in from earlier shards. Decoding is a global cumsum
     # along the position axis at save time (cross-shard carry included).
-    # Runs unconditionally, predicated by pushing indices out of bounds
-    # (a lax.cond here forces whole-buffer copies in the scan body).
-    rec = do_record & ~overflow
-    z_prev = jnp.concatenate([carry_state[None], z_l[:-1]])
-    oob = jnp.int32(K * T_local)
-    flat = counts_l.reshape(-1)
-    valid_s = valid_b & (gstarts < T) & rec
-    inc = jnp.where(valid_s, z_l * T_local + lstarts, oob)
-    flat = flat.at[inc].add(1, mode="drop")
-    dec_ok = valid_s & (gstarts > 0)
-    dec = jnp.where(dec_ok, z_prev * T_local + lstarts, oob)
-    flat = flat.at[dec].add(-1, mode="drop")
-    chg = dec_ok & (z_l != z_prev)
-    everb_l = everb_l.at[jnp.where(chg, lstarts, T_local)].set(
-        True, mode="drop"
-    )
-    counts_l = flat.reshape(K, T_local)
-    n_rec = n_rec + jnp.where(rec, 1, 0)
+    # Runs in recording phases only (STATIC record flag), predicated by
+    # pushing indices out of bounds (a lax.cond here interacted
+    # pathologically with the scanned sweep; see samplers.sweep.record_sweep).
+    if record:
+        rec = do_record & ~overflow
+        z_prev = jnp.concatenate([carry_state[None], z_l[:-1]])
+        oob = jnp.int32(K * T_local)
+        valid_s = valid_b & (gstarts < T) & rec
+        inc = jnp.where(valid_s, z_l * T_local + lstarts, oob)
+        counts_l = counts_l.at[inc].add(1, mode="drop")
+        dec_ok = valid_s & (gstarts > 0)
+        dec = jnp.where(dec_ok, z_prev * T_local + lstarts, oob)
+        counts_l = counts_l.at[dec].add(-1, mode="drop")
+        chg = dec_ok & (z_l != z_prev)
+        everb_l = everb_l.at[jnp.where(chg, lstarts, T_local)].set(
+            True, mode="drop"
+        )
+        n_rec = n_rec + jnp.where(rec, 1, 0)
 
     return new_model, counts_l, everb_l, n_rec, z_l, sizes, nb_l[None], thr
 
@@ -331,6 +334,7 @@ def build_sharded_sweep(
     mapping_np: np.ndarray,
     nr_params: int,
     use_self_transitions: bool,
+    record: bool = True,
 ):
     """Compile-ready sharded sweep: shard_map over the position axis."""
     body = functools.partial(
@@ -343,14 +347,14 @@ def build_sharded_sweep(
         mapping_np=mapping_np,
         nr_params=nr_params,
         use_self_transitions=use_self_transitions,
+        record=record,
     )
     rep = P()
     sh = P(POS_AXIS)
-    cnt = P(None, POS_AXIS)  # (K, T) counts: position axis sharded, minor
     specs = dict(
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, cnt, sh, rep, rep, rep, rep),
-        out_specs=(rep, cnt, sh, rep, sh, sh, sh, rep),
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
+        out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
     )
     try:
         fn = shard_map(body, check_vma=False, **specs)
@@ -371,6 +375,7 @@ def build_sharded_phase(
     nr_params: int,
     use_self_transitions: bool,
     n_iters: int,
+    record: bool = True,
 ):
     """A whole chunk of sharded sweeps as one jitted lax.scan over the
     shard_map'd sweep — no host round-trips inside a chunk (mirrors
@@ -385,14 +390,14 @@ def build_sharded_phase(
         mapping_np=mapping_np,
         nr_params=nr_params,
         use_self_transitions=use_self_transitions,
+        record=record,
     )
     rep = P()
     sh = P(POS_AXIS)
-    cnt = P(None, POS_AXIS)  # (K, T) counts: position axis sharded, minor
     specs = dict(
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, cnt, sh, rep, rep, rep, rep),
-        out_specs=(rep, cnt, sh, rep, sh, sh, sh, rep),
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
+        out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
     )
     try:
         sweep = shard_map(body, check_vma=False, **specs)
@@ -460,8 +465,9 @@ class ShardedEngine:
         K = self.spec.nr_states
         T_pad = self.T_local * self.n_shards
         shard = NamedSharding(self.mesh, P(POS_AXIS))
-        cnt_shard = NamedSharding(self.mesh, P(None, POS_AXIS))
-        self.counts = jax.device_put(jnp.zeros((K, T_pad), jnp.int32), cnt_shard)
+        self.counts = jax.device_put(
+            jnp.zeros((self.n_shards * K * self.T_local,), jnp.int32), shard
+        )
         self.everb = jax.device_put(jnp.zeros((T_pad,), bool), shard)
         self.n_rec = jnp.zeros((), jnp.int32)
         self.model = sample_from_priors(self._next_key(), self.priors)
@@ -506,8 +512,8 @@ class ShardedEngine:
             self._cands[cap] = jax.jit(fn)(self.rank)
         return self._cands[self.cap_local]
 
-    def _sweep_fn(self, method: str):
-        ck = (method, self.cap_local)
+    def _sweep_fn(self, method: str, record: bool = True):
+        ck = (method, self.cap_local, record)
         if ck not in self._sweeps:
             self._sweeps[ck] = build_sharded_sweep(
                 self.mesh,
@@ -519,6 +525,7 @@ class ShardedEngine:
                 mapping_np=self._mapping_np,
                 nr_params=self.spec.nr_params,
                 use_self_transitions=self.spec.use_self_transitions,
+                record=record,
             )
         return self._sweeps[ck]
 
@@ -534,8 +541,8 @@ class ShardedEngine:
     def set_dynamic(self):
         self._dynamic = True
 
-    def _phase_fn(self, method: str, n_iters: int):
-        ck = ("phase", method, self.cap_local, n_iters)
+    def _phase_fn(self, method: str, n_iters: int, record: bool = True):
+        ck = ("phase", method, self.cap_local, n_iters, record)
         if ck not in self._sweeps:
             self._sweeps[ck] = build_sharded_phase(
                 self.mesh,
@@ -548,6 +555,7 @@ class ShardedEngine:
                 nr_params=self.spec.nr_params,
                 use_self_transitions=self.spec.use_self_transitions,
                 n_iters=n_iters,
+                record=record,
             )
         return self._sweeps[ck]
 
@@ -600,7 +608,7 @@ class ShardedEngine:
                     if recording
                     else None
                 )
-                fn = self._phase_fn(method, n)
+                fn = self._phase_fn(method, n, recording)
                 candpos, candrank = self._shard_candidates()
                 model, counts, everb, n_rec, nbs, means, varis = fn(
                     key,
@@ -660,7 +668,7 @@ class ShardedEngine:
     def _one_sweep(self, method: str, do_record: bool):
         key = self._next_key()
         while True:
-            fn = self._sweep_fn(method)
+            fn = self._sweep_fn(method, do_record)
             candpos, candrank = self._shard_candidates()
             new_model, counts, everb, n_rec, z, sizes, nb_shard, thr = fn(
                 key,
@@ -722,11 +730,19 @@ class ShardedEngine:
 
     @property
     def marginal_counts(self) -> np.ndarray:
-        """(K, T) decoded marginal state counts (cumsum of the sharded
-        boundary-difference accumulator along the global position axis)."""
-        return np.cumsum(
-            np.asarray(self.counts).astype(np.int64), axis=1
-        )[:, : self.T].astype(np.int32)
+        """(K, T) decoded marginal state counts. The flat per-shard diff
+        buffers concatenate as (P, K, T_local); transpose to the global
+        (K, T_pad) order, cumsum along positions, slice to T."""
+        K = self.spec.nr_states
+        d = (
+            np.asarray(self.counts)
+            .reshape(self.n_shards, K, self.T_local)
+            .transpose(1, 0, 2)
+            .reshape(K, self.n_shards * self.T_local)
+        )
+        return np.cumsum(d.astype(np.int64), axis=1)[:, : self.T].astype(
+            np.int32
+        )
 
     @property
     def sweeps_per_second(self) -> float:

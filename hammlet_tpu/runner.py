@@ -102,14 +102,15 @@ def compact_marginals(buffers) -> tuple[np.ndarray, np.ndarray]:
 
     Returns (starts, seg_counts) as host arrays; segment i covers
     [starts[i], starts[i+1]) (last ends at T); seg_counts is (n_seg, K)."""
-    T = buffers.counts.shape[1]
+    T = buffers.ever_boundary.shape[0]
+    K = buffers.counts.shape[0] // T
     n_seg = int(np.asarray(jnp.sum(buffers.ever_boundary))) + 1
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def gather(diff, everb, n):
-        # decode the boundary-difference accumulator (one cumsum at save
-        # time instead of an O(T) expansion per recorded sweep)
-        counts = jnp.cumsum(diff, axis=1)
+        # decode the flat boundary-difference accumulator (one cumsum at
+        # save time instead of an O(T) expansion per recorded sweep)
+        counts = jnp.cumsum(diff.reshape(K, T), axis=1)
         first = jnp.concatenate([jnp.ones((1,), bool), everb[1:]])
         (starts,) = jnp.nonzero(first, size=n, fill_value=T)
         return starts.astype(jnp.int32), counts[:, starts]
@@ -423,6 +424,7 @@ class Engine:
                     use_self_transitions=self.spec.use_self_transitions,
                     n_iters=n,
                     cell_bits=self.ing.cell_bits,
+                    record=recording,
                 )
                 max_nb = int(np.asarray(jnp.max(nbs)))
                 if max_nb <= self.capacity:
@@ -487,6 +489,7 @@ class Engine:
                 spec_nr_params=self.spec.nr_params,
                 mapping_tuple=self._mapping_tuple,
                 use_self_transitions=self.spec.use_self_transitions,
+                record=bool(do_record),
             )
             # recording is skipped in-graph on overflow, so new_buffers is
             # value-preserving and the sweep can be replayed with the same
@@ -535,10 +538,13 @@ class Engine:
 
     @property
     def marginal_counts(self) -> np.ndarray:
-        """(K, T) decoded marginal state counts (cumsum of the
+        """(K, T) decoded marginal state counts (cumsum of the flat
         boundary-difference accumulator)."""
+        T = self.ing.T
+        K = self.spec.nr_states
         return np.cumsum(
-            np.asarray(self.buffers.counts).astype(np.int64), axis=1
+            np.asarray(self.buffers.counts).reshape(K, T).astype(np.int64),
+            axis=1,
         ).astype(np.int32)
 
     @property

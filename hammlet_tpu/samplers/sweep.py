@@ -41,15 +41,18 @@ from hammlet_tpu.samplers.mixture import mixture_sample_states
 class RecordBuffers(NamedTuple):
     """On-device posterior recording state.
 
-    counts:        (K, T) int32 — BOUNDARY-DIFFERENCE accumulator of the
-                   per-position state counts: for every recorded block
-                   [s, e) in state z, +1 at (z, s) and -1 at (z, e). The
-                   actual marginal counts are cumsum(counts, axis=1),
-                   decoded once at save/inspection time. Recording a sweep
-                   therefore costs O(#blocks) scatters instead of O(T)
-                   (the per-position one-hot expansion dominated the sweep
-                   at T=4M: ~31 ms per recorded sweep vs <1 ms for this).
-                   Layout (K, T): position axis minor, unpadded in HBM.
+    counts:        FLAT (K*T,) int32 — BOUNDARY-DIFFERENCE accumulator of
+                   the per-position state counts: for every recorded block
+                   [s, e) in state z, +1 at z*T+s and -1 at z*T+e. The
+                   actual marginal counts are cumsum(counts.reshape(K, T),
+                   axis=1), decoded once at save/inspection time. Recording
+                   a sweep therefore costs O(#blocks) scatters instead of
+                   O(T) (the per-position one-hot expansion dominated the
+                   sweep at T=4M: ~31 ms per recorded sweep vs <1 ms).
+                   The buffer stays PERMANENTLY flat: a 1-D buffer is never
+                   sublane-padded, so there is no per-sweep (K, T)<->flat
+                   relayout (at K=3, T=4M that relayout alone cost ~2 ms
+                   per sweep).
     ever_boundary: (T,) bool — positions that started a segment in any
                    recorded sweep; the union partition reproduces the
                    reference's marginal segment refinement
@@ -64,7 +67,7 @@ class RecordBuffers(NamedTuple):
     @staticmethod
     def create(T: int, K: int) -> "RecordBuffers":
         return RecordBuffers(
-            counts=jnp.zeros((K, T), dtype=jnp.int32),
+            counts=jnp.zeros((K * T,), dtype=jnp.int32),
             ever_boundary=jnp.zeros((T,), dtype=bool),
             n_records=jnp.zeros((), dtype=jnp.int32),
         )
@@ -165,19 +168,21 @@ def record_sweep(
     differs from the previous block's.
 
     ``enabled`` (scalar bool) masks the whole update by pushing every index
-    out of bounds — recording runs UNCONDITIONALLY in the sweep and is
-    predicated here instead of under ``lax.cond`` (a cond in the scan body
-    forced whole-buffer copies: ~400 ms per recorded sweep at K=9, T=400k;
-    the masked scatters cost ~0.4 ms).
+    out of bounds — recording runs unconditionally in recording phases and
+    is predicated here instead of under ``lax.cond`` (a cond around the
+    update interacted pathologically with the scanned sweep: ~400 ms per
+    recorded sweep at K=9, T=400k; the masked scatters cost <1 ms). Phases
+    that never record (thinning 0) skip this entirely via the STATIC
+    ``record`` flag on the sweep/phase programs.
 
     NOTE: flat indices are int32; valid while K * T < 2^31 (position-sharded
     engines index per shard, so this binds only single-device runs)."""
-    K, T = buffers.counts.shape
+    T = buffers.ever_boundary.shape[0]
     B = states.shape[0]
     valid = (jnp.arange(B) < n_blocks) & enabled
     prev = jnp.concatenate([jnp.zeros((1,), states.dtype), states[:-1]])
-    oob = jnp.int32(K * T)
-    flat = buffers.counts.reshape(-1)
+    oob = jnp.int32(buffers.counts.shape[0])
+    flat = buffers.counts
     inc = jnp.where(valid, states * T + starts, oob)
     flat = flat.at[inc].add(1, mode="drop")
     dec_ok = valid & (starts > 0)
@@ -188,7 +193,7 @@ def record_sweep(
         True, mode="drop"
     )
     return RecordBuffers(
-        counts=flat.reshape(K, T),
+        counts=flat,
         ever_boundary=everb,
         n_records=buffers.n_records + jnp.where(enabled, 1, 0),
     )
@@ -213,9 +218,11 @@ def _sweep_core(
     mapping: jax.Array,
     use_self_transitions: bool,
     cell_bits: int = 16,
+    record: bool = True,
 ):
     """Shared sweep body used by both the per-sweep and the scanned phase
-    entry points."""
+    entry points. ``record`` is STATIC: non-recording phases compile
+    without the marginal-update scatters."""
     T = ranked.pos_by_rank.shape[0]
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
     blocks = make_blocks_bucketed(cand_pos, cand_rank, ranked, thr)
@@ -242,10 +249,13 @@ def _sweep_core(
     new_model = resample_model(k_model, priors, stats)
 
     ok = blocks.n_blocks <= capacity
-    new_buffers = record_sweep(
-        buffers, states, blocks.starts, blocks.n_blocks,
-        enabled=jnp.logical_and(do_record, ok),
-    )
+    if record:
+        new_buffers = record_sweep(
+            buffers, states, blocks.starts, blocks.n_blocks,
+            enabled=jnp.logical_and(do_record, ok),
+        )
+    else:
+        new_buffers = buffers
     outputs = SweepOutputs(states, blocks.sizes, blocks.n_blocks, thr)
     return new_model, new_buffers, outputs
 
@@ -253,7 +263,7 @@ def _sweep_core(
 @functools.partial(
     jax.jit,
     static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple",
-                     "use_self_transitions", "n_iters", "cell_bits"),
+                     "use_self_transitions", "n_iters", "cell_bits", "record"),
     donate_argnames=("buffers",),
 )
 def gibbs_phase(
@@ -277,6 +287,7 @@ def gibbs_phase(
     use_self_transitions: bool,
     n_iters: int,
     cell_bits: int = 16,
+    record: bool = True,
 ) -> tuple[HMMState, RecordBuffers, jax.Array, jax.Array, jax.Array]:
     """n_iters Gibbs sweeps as one on-device lax.scan — no host round-trips.
 
@@ -301,6 +312,7 @@ def gibbs_phase(
             method=method, capacity=capacity,
             spec_nr_params=spec_nr_params, mapping=mapping,
             use_self_transitions=use_self_transitions, cell_bits=cell_bits,
+            record=record,
         )
         return (new_model, new_buffers), (
             outputs.n_blocks, new_model.theta_mean, new_model.theta_var
@@ -315,7 +327,7 @@ def gibbs_phase(
 @functools.partial(
     jax.jit,
     static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple",
-                     "use_self_transitions", "cell_bits"),
+                     "use_self_transitions", "cell_bits", "record"),
     donate_argnames=("buffers",),
 )
 def gibbs_sweep(
@@ -337,6 +349,7 @@ def gibbs_sweep(
     mapping_tuple: tuple,
     use_self_transitions: bool,
     cell_bits: int = 16,
+    record: bool = True,
 ) -> tuple[HMMState, RecordBuffers, SweepOutputs]:
     """One full Gibbs iteration (HMM.hpp:99-121)."""
     mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
@@ -345,5 +358,5 @@ def gibbs_sweep(
         use_dynamic, static_threshold,
         method=method, capacity=capacity, spec_nr_params=spec_nr_params,
         mapping=mapping, use_self_transitions=use_self_transitions,
-        cell_bits=cell_bits,
+        cell_bits=cell_bits, record=record,
     )
