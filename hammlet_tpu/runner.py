@@ -429,6 +429,7 @@ class Engine:
                 max_nb = int(np.asarray(jnp.max(nbs)))
                 if max_nb <= self.capacity:
                     self.model, self.buffers = model, buffers
+                    self.last_n_blocks = int(np.asarray(nbs[-1]))
                     break
                 self.capacity = min(self.ing.T, _round_capacity(2 * max_nb))
                 self.buffers = backup if backup is not None else buffers
@@ -497,6 +498,7 @@ class Engine:
             self.buffers = new_buffers
             n_blocks = int(outputs.n_blocks)
             if n_blocks <= self.capacity:
+                self.last_n_blocks = n_blocks
                 break
             self.capacity = min(self.ing.T, _round_capacity(2 * n_blocks))
         self.model = new_model
