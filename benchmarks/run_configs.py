@@ -28,7 +28,9 @@ SCALE = float(os.environ.get("HAMMLET_BENCH_SCALE", "1.0"))
 
 def _engine_metrics(eng, desc, cfg, burnin=64, sweeps=128, thin=4):
     eng.run("M", burnin, 0)
-    eng.run("F", 32, thin)  # warm the measured program
+    # warm 2 chunks: the first may shrink the block capacity, the second
+    # compiles the measured program at the settled capacity
+    eng.run("F", 64, thin)
     eng.total_sweeps = 0.0
     eng.sample_time = 0.0
     eng.run("F", sweeps, thin)
