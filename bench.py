@@ -79,8 +79,10 @@ def bench_ours(data):
     eng = make_engine(data, nr_params=3, seed=0, records=rec)
     log(f"engine ready, capacity {eng.capacity}; burn-in")
     eng.run("M", BURNIN, 0)  # burn-in (reference default scheme starts with M)
-    log(f"burn-in done, capacity {eng.capacity}; warming F chunk")
-    eng.run("F", 32, THIN)  # compile the F chunk at the converged capacity
+    log(f"burn-in done, capacity {eng.capacity}; warming F chunks")
+    # two warm chunks: the first may shrink the block capacity, the second
+    # compiles the measured program at the settled capacity
+    eng.run("F", 64, THIN)
     log(f"F warm, capacity {eng.capacity}; measuring")
     eng.total_sweeps = 0.0
     eng.sample_time = 0.0
