@@ -265,6 +265,18 @@ def blocks_from_sizes(sizes, capacity: int | None = None) -> BlockStructure:
     )
 
 
+def split_block_sizes(sizes, index: int, s: int) -> list:
+    """Split block ``index`` so its tail piece has size ``s`` — the
+    reference's Blocks<Splittable>::split (src/Blocks/SplittableBlocks.hpp:
+    53-67: sizes[i] -= s and a new block of size s after it). The refined
+    list feeds ``blocks_from_sizes`` for a static structure. Raises if the
+    block is not larger than ``s`` (same guard as the reference)."""
+    sizes = list(int(v) for v in sizes)
+    if sizes[index] <= s:
+        raise ValueError("Cannot split block into this size!")
+    return sizes[:index] + [sizes[index] - s, s] + sizes[index + 1 :]
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def bucket_candidates(ranked: RankedWeights, capacity: int):
     """Position-sorted boundary candidates for a capacity bucket.

@@ -90,3 +90,20 @@ def test_ranked_blocks_match_masked():
         assert int(a.n_blocks) == int(b.n_blocks)
         np.testing.assert_array_equal(np.asarray(a.starts), np.asarray(b.starts))
         np.testing.assert_array_equal(np.asarray(a.sizes), np.asarray(b.sizes))
+
+
+def test_splittable_block_sizes():
+    """split_block_sizes mirrors Blocks<Splittable>::split (the reference's
+    unwired splittable structure): block i -> (size-s, s) in place."""
+    import pytest
+
+    from hammlet_tpu.ops.blocks import blocks_from_sizes, split_block_sizes
+
+    sizes = [8, 16, 4]
+    refined = split_block_sizes(sizes, 1, 6)
+    assert refined == [8, 10, 6, 4]
+    b = blocks_from_sizes(refined)
+    assert int(b.n_blocks) == 4
+    assert np.asarray(b.starts).tolist() == [0, 8, 18, 24]
+    with pytest.raises(ValueError):
+        split_block_sizes(sizes, 2, 4)
