@@ -41,6 +41,11 @@ def save_checkpoint(engine, path: str) -> None:
         "total_sweeps": np.float64(engine.total_sweeps),
         "scheme_op_index": np.int64(engine.scheme_op_index),
         "scheme_op_done": np.int64(engine.scheme_op_done),
+        # the -i token list the scheme cursor indexes (resume rejects a
+        # mismatch: the cursor would skip/truncate the wrong ops)
+        "scheme_tokens": np.str_(
+            " ".join(getattr(engine, "ckpt_scheme_tokens", None) or [])
+        ),
     }
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
@@ -53,6 +58,12 @@ def save_checkpoint(engine, path: str) -> None:
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def _restore_scheme_tokens(engine, z) -> None:
+    if "scheme_tokens" in getattr(z, "files", []):
+        s = str(z["scheme_tokens"])
+        engine.ckpt_scheme_tokens = s.split(" ") if s else None
 
 
 def restore_checkpoint(engine, path: str) -> None:
@@ -85,6 +96,7 @@ def restore_checkpoint(engine, path: str) -> None:
     # intentionally NOT restored (a resumed process reports its own rate)
     engine.scheme_op_index = int(z["scheme_op_index"]) if "scheme_op_index" in z.files else 0
     engine.scheme_op_done = int(z["scheme_op_done"]) if "scheme_op_done" in z.files else 0
+    _restore_scheme_tokens(engine, z)
 
 
 def save_sharded_checkpoint(engine, path: str) -> None:
@@ -108,6 +120,9 @@ def save_sharded_checkpoint(engine, path: str) -> None:
         "total_sweeps": np.float64(engine.total_sweeps),
         "scheme_op_index": np.int64(engine.scheme_op_index),
         "scheme_op_done": np.int64(engine.scheme_op_done),
+        "scheme_tokens": np.str_(
+            " ".join(getattr(engine, "ckpt_scheme_tokens", None) or [])
+        ),
     }
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
@@ -159,3 +174,4 @@ def restore_sharded_checkpoint(engine, path: str) -> None:
     engine.n_rec = jnp.asarray(z["n_rec"])
     engine.scheme_op_index = int(z["scheme_op_index"])
     engine.scheme_op_done = int(z["scheme_op_done"])
+    _restore_scheme_tokens(engine, z)

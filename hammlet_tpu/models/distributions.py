@@ -79,10 +79,24 @@ def gamma_fixed_tries(
     u = jax.random.uniform(
         k_u, (tries,) + shape, dtype=jnp.float32, minval=1e-38
     )
-    v = (1.0 + c * x) ** 3
-    ok = (v > 0.0) & (
-        jnp.log(u) < 0.5 * x * x + d - d * v + d * jnp.log(jnp.maximum(v, 1e-38))
+    t = c * x
+    v = (1.0 + t) ** 3
+    # acceptance statistic 0.5 x^2 + d (1 - v + log v). Expanding in t = c x
+    # with v = (1+t)^3 gives d * (3 (log1p(t) - t) - 3 t^2 - t^3); every term
+    # is O(x^2) because d t^2 = x^2/9, so it stays accurate in float32 at
+    # posterior alphas ~1e7+ where the naive d - d v + d log v form loses all
+    # significance (ulp(d v) ~ 1 while the residual is O(1)). log1p(t) - t
+    # itself cancels for small |t|, so it switches to its Taylor series there.
+    series = -(t * t) * (
+        1.0 / 2.0
+        - t * (1.0 / 3.0 - t * (1.0 / 4.0 - t * (1.0 / 5.0
+            - t * (1.0 / 6.0 - t * (1.0 / 7.0 - t / 8.0)))))
     )
+    log1p_m_t = jnp.where(
+        jnp.abs(t) < 0.1, series, jnp.log1p(jnp.maximum(t, -0.999999)) - t
+    )
+    accept_stat = 0.5 * x * x + d * (3.0 * log1p_m_t - t * t * (3.0 + t))
+    ok = (v > 0.0) & (jnp.log(u) < accept_stat)
     cand = d * jnp.maximum(v, 0.0)
     # first accepted proposal; fall back to the mode (= d) if all rejected
     first = jnp.argmax(ok, axis=0)

@@ -463,6 +463,11 @@ class ShardedEngine:
         self._key = jax.random.PRNGKey(self.seed)
         self.n_shards = self.mesh.devices.size
         K = self.spec.nr_states
+        if K * self.T_local >= 2**31:
+            raise ValueError(
+                f"per-shard marginal index K*T_local = {K}*{self.T_local} "
+                "exceeds int32; use more shards"
+            )
         T_pad = self.T_local * self.n_shards
         shard = NamedSharding(self.mesh, P(POS_AXIS))
         self.counts = jax.device_put(

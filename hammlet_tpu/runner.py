@@ -124,7 +124,25 @@ def run_scheme_resumable(engine, tokens: list[str]) -> None:
     honoring the engine's scheme cursor: ops before ``scheme_op_index`` are
     skipped (their effect lives in the restored model/threshold/RNG state)
     and a partially-completed F/M phase continues at ``scheme_op_done`` with
-    the original thinning alignment."""
+    the original thinning alignment.
+
+    A checkpoint records which ``-i`` token list its cursor indexes; resuming
+    with a different scheme is rejected (the cursor would silently skip or
+    truncate the wrong ops)."""
+    ckpt_tokens = getattr(engine, "ckpt_scheme_tokens", None)
+    if (
+        engine.scheme_op_index or engine.scheme_op_done
+    ) and ckpt_tokens is not None and list(ckpt_tokens) != list(tokens):
+        raise ValueError(
+            "checkpoint was taken under -i scheme "
+            f"{' '.join(ckpt_tokens)!r} but this run uses "
+            f"{' '.join(tokens)!r}; resume with the original scheme"
+        )
+    if engine.scheme_op_index == 0:
+        # a fresh (non-resumed) scheme always starts at sweep 0 of its first
+        # op, even if a previous direct run() left a stale scheme_op_done
+        engine.scheme_op_done = 0
+    engine.ckpt_scheme_tokens = list(tokens)
     for idx, op in enumerate(parse_scheme(tokens)):
         if idx < engine.scheme_op_index:
             continue

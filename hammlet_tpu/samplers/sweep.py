@@ -66,6 +66,15 @@ class RecordBuffers(NamedTuple):
 
     @staticmethod
     def create(T: int, K: int) -> "RecordBuffers":
+        if K * T >= 2**31:
+            # z * T + start would wrap negative and mode="drop" would then
+            # silently discard marginal scatters; fail loudly instead. The
+            # position-sharded engine indexes per shard (K * T_local), so
+            # this bound only limits single-device runs.
+            raise ValueError(
+                f"marginal buffer K*T = {K}*{T} exceeds int32 indexing; "
+                "shard the position axis (parallel.make_sharded_engine)"
+            )
         return RecordBuffers(
             counts=jnp.zeros((K * T,), dtype=jnp.int32),
             ever_boundary=jnp.zeros((T,), dtype=bool),

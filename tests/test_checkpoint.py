@@ -91,6 +91,54 @@ def test_scheme_resume_skips_completed_ops(tmp_path):
     assert (e3.scheme_op_index, e3.scheme_op_done) == (0, 0)
 
 
+def test_resume_rejects_different_scheme(tmp_path):
+    """A checkpoint taken mid-scheme records the -i tokens; resuming with a
+    different scheme must fail loudly instead of silently misapplying the
+    cursor (ADVICE r1)."""
+    import pytest
+
+    data = _data()
+    ck = str(tmp_path / "mid.npz")
+
+    e1 = make_engine(data, nr_params=3, seed=21)
+    e1.checkpoint_path = ck
+    e1.checkpoint_every = 8
+    e1.run_scheme(["M", "8", "0", "F", "16", "2"])
+    assert e1.ckpt_scheme_tokens == ["M", "8", "0", "F", "16", "2"]
+
+    # craft a mid-scheme cursor (the final checkpoint of a finished scheme
+    # has a reset cursor, which resumes any scheme)
+    e1.scheme_op_index, e1.scheme_op_done = 2, 4
+    save_checkpoint(e1, ck)
+    e2 = make_engine(data, nr_params=3, seed=21)
+    restore_checkpoint(e2, ck)
+    with pytest.raises(ValueError, match="scheme"):
+        e2.run_scheme(["F", "32", "4"])
+
+
+def test_run_then_scheme_starts_fresh():
+    """run_scheme after direct run() calls must not inherit the stale
+    scheme_op_done left by run() (ADVICE r1: previously held together only by
+    parse_scheme's implicit prior op)."""
+    data = _data()
+    e = make_engine(data, nr_params=3, seed=22)
+    e.run("M", 8, 0)
+    assert e.scheme_op_done == 8
+    e.run_scheme(["F", "4", "2"])  # must run all 4 sweeps, record 2
+    assert int(e.buffers.n_records) == 2
+
+
+def test_marginal_index_overflow_guard():
+    """K*T >= 2^31 would wrap the flat int32 marginal index; creation must
+    fail loudly (ADVICE r1)."""
+    import pytest
+
+    from hammlet_tpu.samplers.sweep import RecordBuffers
+
+    with pytest.raises(ValueError, match="int32"):
+        RecordBuffers.create(T=2**29, K=4)
+
+
 def test_sharded_checkpoint_resume(tmp_path):
     from hammlet_tpu.checkpoint import (
         restore_sharded_checkpoint,

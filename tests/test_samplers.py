@@ -190,7 +190,10 @@ def test_gamma_fixed_tries_moments():
     from hammlet_tpu.models.distributions import gamma_fixed_tries
 
     n = 200_000
-    for i, a in enumerate([0.5, 1.0, 3.5, 120.0, 5e4]):
+    # alphas up to ~1e7 cover posterior Dirichlet/InvGamma counts at WGS
+    # scale, where the naive float32 acceptance statistic loses all
+    # significance (the stable log1p expansion keeps it O(1))
+    for i, a in enumerate([0.5, 1.0, 3.5, 120.0, 5e4, 1e7]):
         key = jax.random.PRNGKey(100 + i)
         g = np.asarray(
             gamma_fixed_tries(key, jnp.full((n,), a, jnp.float32))
