@@ -69,7 +69,7 @@ def ensure_data():
 
 def bench_ours(data):
     from hammlet_tpu.io.records import Records
-    from hammlet_tpu.runner import enable_compilation_cache, make_engine
+    from hammlet_tpu.runner import PHASE_CHUNK, enable_compilation_cache, make_engine
 
     enable_compilation_cache()
 
@@ -80,9 +80,10 @@ def bench_ours(data):
     log(f"engine ready, capacity {eng.capacity}; burn-in")
     eng.run("M", BURNIN, 0)  # burn-in (reference default scheme starts with M)
     log(f"burn-in done, capacity {eng.capacity}; warming F chunks")
-    # two warm chunks: the first may shrink the block capacity, the second
-    # compiles the measured program at the settled capacity
-    eng.run("F", 64, THIN)
+    # two warm chunks of the measured size: the first may shrink the block
+    # capacity, the second compiles the measured program at the settled
+    # capacity
+    eng.run("F", 2 * PHASE_CHUNK, THIN)
     log(f"F warm, capacity {eng.capacity}; measuring")
     # tunnel dispatch latency is noisy at sub-second windows: measure two
     # rounds and report the better one

@@ -1,0 +1,287 @@
+"""Per-sweep cost breakdown at settled capacity (run on the real TPU).
+
+Times scanned 32-iteration sub-programs of the Gibbs sweep so tunnel
+dispatch latency amortizes. Every stage's inputs are perturbed from the
+per-iteration RNG key so XLA cannot hoist loop-invariant work out of the
+scan (which would silently zero a stage's cost).
+
+Usage:  timeout 1800 python benchmarks/ablate.py [micro]
+Env:    HAMMLET_BENCH_T (default 4_000_000)
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from bench import ensure_data, log  # noqa: E402
+from hammlet_tpu.models.hmm import HMMState, resample_model  # noqa: E402
+from hammlet_tpu.ops.blocks import (  # noqa: E402
+    block_sufficient_stats,
+    make_blocks_bucketed,
+)
+from hammlet_tpu.runner import enable_compilation_cache, make_engine  # noqa: E402
+from hammlet_tpu.samplers.forward_backward import (  # noqa: E402
+    backward_sample_t,
+    forward_columns_t,
+)
+from hammlet_tpu.models.distributions import emission_log_weights_t  # noqa: E402
+from hammlet_tpu.samplers.mixture import mixture_sample_states  # noqa: E402
+from hammlet_tpu.samplers.sweep import (  # noqa: E402
+    RecordBuffers,
+    accumulate_sweep_stats,
+    record_sweep,
+)
+
+N_ITERS = 32
+
+
+def timed(name, fn, *args):
+    out = fn(*args)  # compile
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+    per_sweep = best / N_ITERS * 1e3
+    print(f"{name:34s} {per_sweep:8.3f} ms/sweep", flush=True)
+    return per_sweep
+
+
+def main():
+    enable_compilation_cache()
+    data = ensure_data()
+    log(f"data ready: {len(data)}")
+    eng = make_engine(data, nr_params=3, seed=0)
+    eng.run("M", 64, 0)
+    eng.run("F", 64, 0)
+    eng.run("F", 64, 0)
+    cap = eng.capacity
+    log(f"settled capacity {cap}")
+
+    model0, priors = eng.model, eng.priors
+    ranked, prefix = eng.ing.ranked, eng.ing.prefix
+    cand_pos, cand_rank = eng._candidates()
+    mapping = jnp.asarray(np.asarray(eng._mapping_tuple, dtype=np.int32))
+    nr_params = eng.spec.nr_params
+    T = eng.ing.T
+    K = eng.spec.nr_states
+    buffers = RecordBuffers.create(T, K)
+    cell_bits = eng.ing.cell_bits
+    key0 = jax.random.PRNGKey(123)
+
+    def scan_harness(step):
+        @jax.jit
+        def run(model, buffers):
+            def body(carry, i):
+                model, buffers, acc = carry
+                k = jax.random.fold_in(key0, i)
+                model, buffers, acc2 = step(k, model, buffers)
+                return (model, buffers, acc + acc2), ()
+
+            (model, buffers, acc), _ = jax.lax.scan(
+                body, (model, buffers, jnp.float32(0)), jnp.arange(N_ITERS)
+            )
+            return model, buffers, acc
+
+        return run
+
+    def perturb(k, model):
+        """Tiny key-dependent jitter on the model so every downstream value
+        is iteration-dependent (anti-hoisting)."""
+        eps = jax.random.uniform(k, (), minval=0.0, maxval=1e-12)
+        return HMMState(
+            model.theta_mean + eps, model.theta_var + eps,
+            model.A, model.pi,
+        )
+
+    def pre(k, model):
+        model = perturb(k, model)
+        thr = model.threshold(T)
+        blocks = make_blocks_bucketed(cand_pos, cand_rank, ranked, thr)
+        return model, blocks
+
+    def stage_blocks_only(k, model, buffers):
+        model, blocks = pre(k, model)
+        return model, buffers, jnp.sum(blocks.starts).astype(jnp.float32)
+
+    def stage_blocks(k, model, buffers):
+        model, blocks = pre(k, model)
+        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        return model, buffers, jnp.sum(bstats) + blocks.n_blocks
+
+    def stage_emission(k, model, buffers):
+        model, blocks = pre(k, model)
+        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        log_e_t = emission_log_weights_t(
+            bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
+        )
+        return model, buffers, jnp.sum(log_e_t)
+
+    def stage_forward(k, model, buffers):
+        model, blocks = pre(k, model)
+        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        log_e_t = emission_log_weights_t(
+            bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
+        )
+        cols_t, last = forward_columns_t(
+            log_e_t, blocks.sizes, blocks.n_blocks, model.A, model.pi, True
+        )
+        return model, buffers, jnp.sum(cols_t) + jnp.sum(last)
+
+    def stage_backward(k, model, buffers):
+        model, blocks = pre(k, model)
+        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        log_e_t = emission_log_weights_t(
+            bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
+        )
+        cols_t, last = forward_columns_t(
+            log_e_t, blocks.sizes, blocks.n_blocks, model.A, model.pi, True
+        )
+        z = backward_sample_t(k, cols_t, last, blocks.n_blocks, model.A)
+        return model, buffers, jnp.sum(z).astype(jnp.float32)
+
+    def stage_accum(k, model, buffers):
+        model, blocks = pre(k, model)
+        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        log_e_t = emission_log_weights_t(
+            bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
+        )
+        cols_t, last = forward_columns_t(
+            log_e_t, blocks.sizes, blocks.n_blocks, model.A, model.pi, True
+        )
+        z = backward_sample_t(k, cols_t, last, blocks.n_blocks, model.A)
+        stats = accumulate_sweep_stats(
+            z, blocks.sizes, blocks.n_blocks, bstats, mapping, nr_params
+        )
+        return model, buffers, jnp.sum(stats.trans_counts)
+
+    def stage_resample(k, model, buffers):
+        model, blocks = pre(k, model)
+        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        log_e_t = emission_log_weights_t(
+            bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
+        )
+        cols_t, last = forward_columns_t(
+            log_e_t, blocks.sizes, blocks.n_blocks, model.A, model.pi, True
+        )
+        z = backward_sample_t(k, cols_t, last, blocks.n_blocks, model.A)
+        stats = accumulate_sweep_stats(
+            z, blocks.sizes, blocks.n_blocks, bstats, mapping, nr_params
+        )
+        new_model = resample_model(k, priors, stats)
+        return new_model, buffers, jnp.float32(0)
+
+    def stage_record(k, model, buffers):
+        model, blocks = pre(k, model)
+        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        log_e_t = emission_log_weights_t(
+            bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
+        )
+        cols_t, last = forward_columns_t(
+            log_e_t, blocks.sizes, blocks.n_blocks, model.A, model.pi, True
+        )
+        z = backward_sample_t(k, cols_t, last, blocks.n_blocks, model.A)
+        stats = accumulate_sweep_stats(
+            z, blocks.sizes, blocks.n_blocks, bstats, mapping, nr_params
+        )
+        new_model = resample_model(k, priors, stats)
+        buffers = record_sweep(buffers, z, blocks.starts, blocks.n_blocks)
+        return new_model, buffers, jnp.float32(0)
+
+    def stage_mixture(k, model, buffers):
+        model, blocks = pre(k, model)
+        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        z = mixture_sample_states(
+            k, bstats, blocks.sizes, blocks.n_blocks,
+            model.theta_mean, model.theta_var, mapping,
+        )
+        return model, buffers, jnp.sum(z).astype(jnp.float32)
+
+    stages = [
+        ("threshold+blocks", stage_blocks_only),
+        ("+block stats", stage_blocks),
+        ("+emission", stage_emission),
+        ("+forward scan", stage_forward),
+        ("+backward scan", stage_backward),
+        ("+accumulate", stage_accum),
+        ("+resample (full, no rec)", stage_resample),
+        ("+record (full F sweep)", stage_record),
+        ("mixture sweep (no rec)", stage_mixture),
+    ]
+    for name, step in stages:
+        timed(name, scan_harness(step), model0, buffers)
+
+    if "micro" in sys.argv:
+        micro(eng, cap, key0)
+
+
+def micro(eng, cap, key0):
+    """Micro-op timings at the sweep's shapes."""
+    T = eng.ing.T
+    prefix = eng.ing.prefix
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(np.sort(rng.integers(0, T, cap)).astype(np.int32))
+    vals = jnp.asarray(rng.normal(size=cap).astype(np.float32))
+
+    def harness(step):
+        @jax.jit
+        def run():
+            def body(acc, i):
+                k = jax.random.fold_in(key0, i)
+                return acc + step(k), ()
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(N_ITERS))
+            return acc
+
+        return run
+
+    r_t = jnp.asarray(
+        np.ascontiguousarray(np.asarray(prefix.r).transpose(1, 2, 0))
+    )  # (dim, 2, T+1)
+
+    def jidx(k):
+        return jnp.minimum(
+            idx + jax.random.randint(k, (), 0, 2, dtype=jnp.int32), T - 1
+        )
+
+    ops = [
+        ("gather r[s] (T,1,2)", lambda k: jnp.sum(prefix.r[jidx(k)])),
+        ("gather r_t[:,:,s] (1,2,T)", lambda k: jnp.sum(r_t[:, :, jidx(k)])),
+        ("gather 1d r_t[0,0][s]", lambda k: jnp.sum(r_t[0, 0][jidx(k)])),
+        ("scatter set (cap,)", lambda k: jnp.sum(
+            jnp.zeros(cap, jnp.float32).at[jidx(k) % cap].set(vals))),
+        ("scatter add flat (K*T,)", lambda k: jnp.sum(
+            jnp.zeros(3 * T, jnp.int32).at[jidx(k)].add(1, mode="drop")
+        ).astype(jnp.float32)),
+        ("cumsum (cap,) i32", lambda k: jnp.sum(
+            jnp.cumsum(jidx(k) % 3)).astype(jnp.float32)),
+        ("searchsorted in (T,)", lambda k: jnp.sum(
+            jnp.searchsorted(
+                eng.ing.ranked.neg_w_sorted,
+                -jax.random.uniform(k, ()) * 3.0,
+            )
+        ).astype(jnp.float32)),
+        ("gumbel (K,K,cap)", lambda k: jnp.sum(
+            jax.random.gumbel(k, (3, 3, cap), dtype=jnp.float32))),
+        ("gumbel (K,cap)+argmax", lambda k: jnp.sum(
+            jnp.argmax(jax.random.gumbel(k, (3, cap), jnp.float32), axis=0)
+        ).astype(jnp.float32)),
+        ("onehot einsum (K,cap)@(cap,)", lambda k: jnp.sum(
+            ((jidx(k)[None, :] % 3 == jnp.arange(3)[:, None]).astype(
+                jnp.float32
+            ) @ vals)
+        )),
+    ]
+    for name, step in ops:
+        timed(name, harness(step))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,7 @@ def save_checkpoint(engine, path: str) -> None:
         "counts": np.asarray(engine.buffers.counts),
         "ever_boundary": np.asarray(engine.buffers.ever_boundary),
         "n_records": np.asarray(engine.buffers.n_records),
+        "n_boundaries": np.asarray(engine.buffers.n_boundaries),
         "total_sweeps": np.float64(engine.total_sweeps),
         "scheme_op_index": np.int64(engine.scheme_op_index),
         "scheme_op_done": np.int64(engine.scheme_op_done),
@@ -80,7 +81,7 @@ def restore_checkpoint(engine, path: str) -> None:
     engine.sweeps_completed = int(z.get("sweeps_completed", 0))
     engine.capacity = int(z["capacity"])
     engine._dynamic = bool(z["dynamic"])
-    engine._static_threshold = jnp.float32(z["static_threshold"])
+    engine._static_threshold = float(z["static_threshold"])
     engine.model = HMMState(
         jnp.asarray(z["theta_mean"]),
         jnp.asarray(z["theta_var"]),
@@ -91,6 +92,9 @@ def restore_checkpoint(engine, path: str) -> None:
         jnp.asarray(z["counts"]),
         jnp.asarray(z["ever_boundary"]),
         jnp.asarray(z["n_records"]),
+        jnp.asarray(z["n_boundaries"])
+        if "n_boundaries" in z.files
+        else jnp.int32(int(z["ever_boundary"].sum())),
     )
     # total_sweeps/sample_time are process-local throughput counters and are
     # intentionally NOT restored (a resumed process reports its own rate)
@@ -117,6 +121,7 @@ def save_sharded_checkpoint(engine, path: str) -> None:
         "counts": np.asarray(engine.counts),
         "everb": np.asarray(engine.everb),
         "n_rec": np.asarray(engine.n_rec),
+        "n_bound": np.asarray(engine.n_bound),
         "total_sweeps": np.float64(engine.total_sweeps),
         "scheme_op_index": np.int64(engine.scheme_op_index),
         "scheme_op_done": np.int64(engine.scheme_op_done),
@@ -162,7 +167,7 @@ def restore_sharded_checkpoint(engine, path: str) -> None:
     engine.sweeps_completed = int(z["sweeps_completed"])
     engine.cap_local = int(z["cap_local"])
     engine._dynamic = bool(z["dynamic"])
-    engine._static_threshold = jnp.float32(z["static_threshold"])
+    engine._static_threshold = float(z["static_threshold"])
     engine.model = HMMState(
         jnp.asarray(z["theta_mean"]),
         jnp.asarray(z["theta_var"]),
@@ -172,6 +177,11 @@ def restore_sharded_checkpoint(engine, path: str) -> None:
     engine.counts = jax.device_put(jnp.asarray(z["counts"]), shard)
     engine.everb = jax.device_put(jnp.asarray(z["everb"]), shard)
     engine.n_rec = jnp.asarray(z["n_rec"])
+    engine.n_bound = (
+        jnp.asarray(z["n_bound"])
+        if "n_bound" in z.files
+        else jnp.int32(int(z["everb"].sum()))
+    )
     engine.scheme_op_index = int(z["scheme_op_index"])
     engine.scheme_op_done = int(z["scheme_op_done"])
     _restore_scheme_tokens(engine, z)

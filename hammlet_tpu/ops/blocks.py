@@ -227,17 +227,24 @@ def block_sufficient_stats(
 ) -> jax.Array:
     """(Bcap, dim, 2) float32 — per-block (sum x, sum x^2) per dim.
 
-    Two gathers + cross-cell correction; padded blocks yield exact zeros
-    (start == end == T).
+    Relies on the block-structure convention ends[b] == starts[b+1] (with
+    ends[-1] == T and padded starts == T), which every builder in this
+    module satisfies: the end-point gathers are then one-row shifts of the
+    start-point gathers, halving the gather count (gathers of ~30k random
+    rows dominate this function on TPU). Padded blocks yield exact zeros
+    (start == end == T; r[T] = 0 and the cell terms cancel).
     """
-    s, e = blocks.starts, blocks.ends
+    s = blocks.starts
     r_s = prefix.r[s]  # (B, dim, 2)
-    r_e = prefix.r[e]
+    # r[ends[b]] = r[starts[b+1]]; r[ends[-1]] = r[T] = 0
+    r_e = jnp.concatenate([r_s[1:], jnp.zeros_like(r_s[:1])])
     cs = (s >> cell_bits).astype(jnp.int32)
-    ce = (e >> cell_bits).astype(jnp.int32)
-    q_hi = prefix.q2_hi[ce] - prefix.q2_hi[cs]
-    q_lo = prefix.q2_lo[ce] - prefix.q2_lo[cs]
-    return (r_s - r_e) + (q_hi + q_lo)
+    q_hi_s = prefix.q2_hi[cs]
+    q_lo_s = prefix.q2_lo[cs]
+    ce_last = prefix.T >> cell_bits  # cell index of the final end (= T)
+    q_hi_e = jnp.concatenate([q_hi_s[1:], prefix.q2_hi[ce_last][None]])
+    q_lo_e = jnp.concatenate([q_lo_s[1:], prefix.q2_lo[ce_last][None]])
+    return (r_s - r_e) + ((q_hi_e - q_hi_s) + (q_lo_e - q_lo_s))
 
 
 def blocks_from_sizes(sizes, capacity: int | None = None) -> BlockStructure:

@@ -80,6 +80,7 @@ def _sharded_sweep_body(
     counts_l,  # (K*T_local,) local FLAT marginal diff accumulator
     everb_l,  # (T_local,) local boundary union
     n_rec,
+    n_bound,  # () int32 replicated popcount of the global boundary union
     do_record,
     use_dynamic,
     static_threshold,
@@ -315,12 +316,23 @@ def _sharded_sweep_body(
         dec = jnp.where(dec_ok, z_prev * T_local + lstarts, oob)
         counts_l = counts_l.at[dec].add(-1, mode="drop")
         chg = dec_ok & (z_l != z_prev)
+        # count newly-created boundaries before setting them (O(#blocks)
+        # local gather + one psum; feeds the segments stream without any
+        # O(T) reduction on the sweep path)
+        was_set = jnp.where(
+            chg, everb_l[jnp.minimum(lstarts, T_local - 1)], True
+        )
+        newly = jnp.sum((chg & ~was_set).astype(jnp.int32))
         everb_l = everb_l.at[jnp.where(chg, lstarts, T_local)].set(
             True, mode="drop"
         )
         n_rec = n_rec + jnp.where(rec, 1, 0)
+        n_bound = n_bound + jax.lax.psum(newly, POS_AXIS)
 
-    return new_model, counts_l, everb_l, n_rec, z_l, sizes, nb_l[None], thr
+    return (
+        new_model, counts_l, everb_l, n_rec, n_bound, z_l, sizes,
+        nb_l[None], thr,
+    )
 
 
 def build_sharded_sweep(
@@ -353,8 +365,9 @@ def build_sharded_sweep(
     sh = P(POS_AXIS)
     specs = dict(
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
-        out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep,
+                  rep, rep, rep),
+        out_specs=(rep, sh, sh, rep, rep, sh, sh, sh, rep),
     )
     try:
         fn = shard_map(body, check_vma=False, **specs)
@@ -376,10 +389,13 @@ def build_sharded_phase(
     use_self_transitions: bool,
     n_iters: int,
     record: bool = True,
+    want_blocks: bool = False,
 ):
     """A whole chunk of sharded sweeps as one jitted lax.scan over the
     shard_map'd sweep — no host round-trips inside a chunk (mirrors
-    samplers.sweep.gibbs_phase)."""
+    samplers.sweep.gibbs_phase). With STATIC ``want_blocks`` the per-sweep
+    (states, sizes, n_boundaries) trajectories are stacked for the
+    sequences/blocks/segments streams, drained once per chunk."""
     body = functools.partial(
         _sharded_sweep_body,
         method=method,
@@ -396,8 +412,9 @@ def build_sharded_phase(
     sh = P(POS_AXIS)
     specs = dict(
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep, rep, rep),
-        out_specs=(rep, sh, sh, rep, sh, sh, sh, rep),
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep,
+                  rep, rep, rep),
+        out_specs=(rep, sh, sh, rep, rep, sh, sh, sh, rep),
     )
     try:
         sweep = shard_map(body, check_vma=False, **specs)
@@ -405,29 +422,118 @@ def build_sharded_phase(
         sweep = shard_map(body, check_rep=False, **specs)
 
     def phase(
-        key, model, priors, negw, candpos, candrank, r, q2_hi, q2_lo,
-        counts, everb, n_rec, thinning, use_dynamic, static_threshold, offset,
+        master_key, model, priors, negw, candpos, candrank, r, q2_hi, q2_lo,
+        counts, everb, n_rec, n_bound, counter, thinning, use_dynamic,
+        static_threshold, offset,
     ):
+        # one program per chunk: the chunk key, the pre-chunk snapshot (for
+        # overflow replay) and the packed diagnostics all live in-graph —
+        # the driver syncs once per chunk (every extra eager op or fetch is
+        # a full round trip on a remote-dispatch link)
+        key = jax.random.fold_in(master_key, counter)
+        prev = (counts, everb, n_rec, n_bound) if record else None
+
         def step(carry, i):
-            model, counts, everb, n_rec = carry
+            model, counts, everb, n_rec, n_bound = carry
             k = jax.random.fold_in(key, i)
             do_rec = (thinning > 0) & (
                 ((offset + i + 1) % jnp.maximum(thinning, 1)) == 0
             )
-            model, counts, everb, n_rec, _z, _sizes, nb, _thr = sweep(
+            model, counts, everb, n_rec, n_bound, z, sizes, nb, _thr = sweep(
                 k, model, priors, negw, candpos, candrank, r, q2_hi, q2_lo,
-                counts, everb, n_rec, do_rec, use_dynamic, static_threshold,
+                counts, everb, n_rec, n_bound, do_rec, use_dynamic,
+                static_threshold,
             )
-            return (model, counts, everb, n_rec), (
-                nb, model.theta_mean, model.theta_var
-            )
+            ys = (nb, model.theta_mean, model.theta_var)
+            if want_blocks:
+                ys = ys + (z, sizes, n_bound)
+            return (model, counts, everb, n_rec, n_bound), ys
 
-        (model, counts, everb, n_rec), (nbs, means, varis) = jax.lax.scan(
-            step, (model, counts, everb, n_rec), jnp.arange(n_iters)
+        (model, counts, everb, n_rec, n_bound), ys = jax.lax.scan(
+            step, (model, counts, everb, n_rec, n_bound), jnp.arange(n_iters)
         )
-        return model, counts, everb, n_rec, nbs, means, varis
+        nbs, means, varis = ys[:3]
+        blk = ys[3:] if want_blocks else None
+        diag = jnp.stack(
+            [jnp.max(nbs), jnp.sum(nbs[-1])]
+        ).astype(jnp.int32)
+        return (
+            model, counts, everb, n_rec, n_bound, prev, diag, nbs, means,
+            varis, blk,
+        )
 
     return jax.jit(phase, donate_argnums=(9, 10))
+
+
+def compact_sharded_marginals(engine) -> tuple[np.ndarray, np.ndarray]:
+    """RLE-compact the sharded marginal accumulators ON DEVICE and download
+    only per-segment rows (the reference's whole output design keeps the
+    marginal store small, StateMarginals.hpp:20-21; downloading the full
+    (P*K*T_local) counts buffer at 3 Gbp would be GBs over the host link).
+
+    Per shard: decode the local boundary-difference buffer with one cumsum,
+    add the cross-shard carry (all_gather of per-shard totals), and gather
+    the decoded counts at the local segment starts. Two small fetches reach
+    the host: per-shard segment counts, then (P, cap_seg) start/count rows.
+
+    Returns (starts, seg_counts): global segment start positions (ascending)
+    and the (n_seg, K) recorded counts at those starts."""
+    K = engine.spec.nr_states
+    T_local = engine.T_local
+    mesh = engine.mesh
+
+    def _smap(fn, in_specs, out_specs):
+        try:
+            return shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        except TypeError:  # pragma: no cover - older jax
+            return shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=False,
+            )
+
+    def count_fn(everb_l):
+        k = jax.lax.axis_index(POS_AXIS)
+        extra = jnp.where(k == 0, 1, 0)  # global position 0 starts a segment
+        return (jnp.sum(everb_l.astype(jnp.int32)) + extra)[None]
+
+    n_seg_shard = np.asarray(
+        jax.jit(_smap(count_fn, P(POS_AXIS), P(POS_AXIS)))(engine.everb)
+    )
+    cap_seg = int(n_seg_shard.max())
+
+    def gather_fn(diff_l, everb_l):
+        k = jax.lax.axis_index(POS_AXIS)
+        nP = jax.lax.axis_size(POS_AXIS)
+        cum = jnp.cumsum(diff_l.reshape(K, T_local), axis=1)  # (K, T_local)
+        tots = jax.lax.all_gather(cum[:, -1], POS_AXIS)  # (P, K)
+        carry = jnp.sum(
+            jnp.where((jnp.arange(nP) < k)[:, None], tots, 0), axis=0
+        )  # (K,) exclusive cross-shard prefix
+        first = everb_l.at[0].set(jnp.where(k == 0, True, everb_l[0]))
+        (starts_l,) = jnp.nonzero(first, size=cap_seg, fill_value=T_local)
+        seg = (cum + carry[:, None])[
+            :, jnp.minimum(starts_l, T_local - 1)
+        ]  # (K, cap_seg); padded entries masked out on host
+        gstarts = (starts_l + k * T_local).astype(jnp.int32)
+        return gstarts[None], jnp.transpose(seg)[None]  # (1,cap), (1,cap,K)
+
+    fn = jax.jit(
+        _smap(gather_fn, (P(POS_AXIS), P(POS_AXIS)), (P(POS_AXIS), P(POS_AXIS)))
+    )
+    starts_d, seg_d = fn(engine.counts, engine.everb)
+    starts_h = np.asarray(starts_d)  # (P, cap_seg)
+    seg_h = np.asarray(seg_d)  # (P, cap_seg, K)
+    nP = engine.n_shards
+    starts = np.concatenate(
+        [starts_h[j, : n_seg_shard[j]] for j in range(nP)]
+    )
+    seg_counts = np.concatenate(
+        [seg_h[j, : n_seg_shard[j]] for j in range(nP)]
+    ).astype(np.int64)
+    return starts, seg_counts
 
 
 @dataclass
@@ -475,9 +581,10 @@ class ShardedEngine:
         )
         self.everb = jax.device_put(jnp.zeros((T_pad,), bool), shard)
         self.n_rec = jnp.zeros((), jnp.int32)
+        self.n_bound = jnp.zeros((), jnp.int32)
         self.model = sample_from_priors(self._next_key(), self.priors)
         self._dynamic = True
-        self._static_threshold = jnp.float32(0.0)
+        self._static_threshold = 0.0  # host float: passed per chunk
         self._mapping_np = self.spec.mapping()
         self._sweeps = {}
 
@@ -541,13 +648,16 @@ class ShardedEngine:
 
     def set_static(self):
         self._dynamic = False
-        self._static_threshold = jnp.float32(float(self.model.threshold(self.T)))
+        self._static_threshold = float(self.model.threshold(self.T))
 
     def set_dynamic(self):
         self._dynamic = True
 
-    def _phase_fn(self, method: str, n_iters: int, record: bool = True):
-        ck = ("phase", method, self.cap_local, n_iters, record)
+    def _phase_fn(
+        self, method: str, n_iters: int, record: bool = True,
+        want_blocks: bool = False,
+    ):
+        ck = ("phase", method, self.cap_local, n_iters, record, want_blocks)
         if ck not in self._sweeps:
             self._sweeps[ck] = build_sharded_phase(
                 self.mesh,
@@ -561,25 +671,15 @@ class ShardedEngine:
                 use_self_transitions=self.spec.use_self_transitions,
                 n_iters=n_iters,
                 record=record,
+                want_blocks=want_blocks,
             )
         return self._sweeps[ck]
 
     def run(self, method: str, iterations: int, thinning: int, start: int = 0):
         if iterations <= 0:
             return
-        needs_blocks = self.records is not None and bool(
-            {"sequences", "blocks", "segments"} & self.records.enabled
-        )
         t0 = time.time()
-        if needs_blocks:
-            for i in range(iterations):
-                do_record = thinning > 0 and (start + i + 1) % thinning == 0
-                self._one_sweep(method, do_record)
-                self.sweeps_completed += 1
-                self.scheme_op_done = start + i + 1
-                self._maybe_checkpoint()
-        else:
-            self._run_phase_scanned(method, iterations, thinning, start)
+        self._run_phase_scanned(method, iterations, thinning, start)
         jax.block_until_ready(self.model.theta_mean)
         self.sample_time += time.time() - t0
         self.total_sweeps += iterations
@@ -602,21 +702,25 @@ class ShardedEngine:
         from hammlet_tpu.runner import PHASE_CHUNK, _round_capacity
 
         recording = thinning > 0
+        want_blocks = (
+            recording
+            and self.records is not None
+            and bool(
+                {"sequences", "blocks", "segments"} & self.records.enabled
+            )
+        )
         done = start
         end = start + iterations
         while done < end:
             n = min(PHASE_CHUNK, end - done)
-            key = self._next_key()
+            self.sweep_counter += 1
+            counter = self.sweep_counter  # fixed across overflow replays
             while True:
-                backup = (
-                    (jnp.copy(self.counts), jnp.copy(self.everb), self.n_rec)
-                    if recording
-                    else None
-                )
-                fn = self._phase_fn(method, n, recording)
+                fn = self._phase_fn(method, n, recording, want_blocks)
                 candpos, candrank = self._shard_candidates()
-                model, counts, everb, n_rec, nbs, means, varis = fn(
-                    key,
+                (model, counts, everb, n_rec, n_bound, prev, diag, nbs,
+                 means, varis, blk) = fn(
+                    self._key,
                     self.model,
                     self.priors,
                     self.negw,
@@ -628,35 +732,54 @@ class ShardedEngine:
                     self.counts,
                     self.everb,
                     self.n_rec,
-                    jnp.int32(thinning),
-                    jnp.asarray(self._dynamic),
-                    self._static_threshold,
-                    jnp.int32(done),
+                    self.n_bound,
+                    np.int32(counter),
+                    np.int32(thinning),
+                    np.bool_(self._dynamic),
+                    np.float32(self._static_threshold),
+                    np.int32(done),
                 )
-                self.counts, self.everb = counts, everb
-                nbs_h = np.asarray(nbs)  # (n, P)
-                max_nb = int(nbs_h.max())
+                # the chunk's single host sync: packed [max_nb, last total]
+                diag_h = np.asarray(diag)
+                max_nb = int(diag_h[0])
                 if max_nb <= self.cap_local:
-                    self.model, self.n_rec = model, n_rec
+                    self.counts, self.everb = counts, everb
+                    self.model, self.n_rec, self.n_bound = model, n_rec, n_bound
                     break
                 self.cap_local = min(
                     self.T_local, _round_capacity(2 * max_nb)
                 )
-                if backup is not None:
-                    self.counts, self.everb, self.n_rec = backup
+                # replay the chunk (same counter) from the in-graph snapshot
+                if prev is not None:
+                    (self.counts, self.everb, self.n_rec,
+                     self.n_bound) = prev
+                else:
+                    self.counts, self.everb = counts, everb
             if self.records is not None and recording:
                 wants_comp = "compression" in self.records.enabled
                 wants_params = "parameters" in self.records.enabled
-                if wants_comp or wants_params:
+                rec_idx = [
+                    i for i in range(n) if (done + i + 1) % thinning == 0
+                ]
+                if rec_idx and (wants_comp or wants_params or want_blocks):
+                    nbs_h = np.asarray(nbs)  # (n, P)
                     totals = nbs_h.sum(axis=1)
                     means_h = np.asarray(means) if wants_params else None
                     varis_h = np.asarray(varis) if wants_params else None
-                    for i in range(n):
-                        if (done + i + 1) % thinning == 0:
-                            if wants_comp:
-                                self.records.record_compression(int(totals[i]))
-                            if wants_params:
-                                self.records.record_theta(means_h[i], varis_h[i])
+                    if want_blocks:
+                        idx = jnp.asarray(rec_idx, dtype=jnp.int32)
+                        z_h = np.asarray(jnp.take(blk[0], idx, axis=0))
+                        s_h = np.asarray(jnp.take(blk[1], idx, axis=0))
+                        nbound_h = np.asarray(jnp.take(blk[2], idx, axis=0))
+                    for j, i in enumerate(rec_idx):
+                        if want_blocks:
+                            self._record_sharded_sweep(
+                                z_h[j], s_h[j], nbs_h[i], int(nbound_h[j])
+                            )
+                        elif wants_comp:
+                            self.records.record_compression(int(totals[i]))
+                        if wants_params:
+                            self.records.record_theta(means_h[i], varis_h[i])
             done += n
             self.sweeps_completed += n
             self.scheme_op_done = done
@@ -670,12 +793,30 @@ class ShardedEngine:
                 self.cap_local = target
             self._maybe_checkpoint()
 
+    def _record_sharded_sweep(
+        self, z_flat: np.ndarray, sizes_flat: np.ndarray,
+        nb_per_shard: np.ndarray, n_bound: int,
+    ) -> None:
+        """Reassemble per-shard (states, sizes) rows into the global block
+        order and feed the sequences/blocks/segments streams."""
+        z2 = z_flat.reshape(self.n_shards, -1)
+        s2 = sizes_flat.reshape(self.n_shards, -1)
+        states = np.concatenate(
+            [z2[j, : nb_per_shard[j]] for j in range(self.n_shards)]
+        )
+        szs = np.concatenate(
+            [s2[j, : nb_per_shard[j]] for j in range(self.n_shards)]
+        )
+        self.records.record_sweep(states, szs, int(nb_per_shard.sum()), n_bound)
+
     def _one_sweep(self, method: str, do_record: bool):
+        """Single-sweep entry point (test/debug surface; phases run scanned)."""
         key = self._next_key()
         while True:
             fn = self._sweep_fn(method, do_record)
             candpos, candrank = self._shard_candidates()
-            new_model, counts, everb, n_rec, z, sizes, nb_shard, thr = fn(
+            (new_model, counts, everb, n_rec, n_bound, z, sizes, nb_shard,
+             thr) = fn(
                 key,
                 self.model,
                 self.priors,
@@ -688,9 +829,10 @@ class ShardedEngine:
                 self.counts,
                 self.everb,
                 self.n_rec,
-                jnp.asarray(do_record),
-                jnp.asarray(self._dynamic),
-                self._static_threshold,
+                self.n_bound,
+                np.bool_(do_record),
+                np.bool_(self._dynamic),
+                np.float32(self._static_threshold),
             )
             self.counts, self.everb = counts, everb
             nb = np.asarray(nb_shard)
@@ -701,20 +843,12 @@ class ShardedEngine:
             )
         self.model = new_model
         self.n_rec = n_rec
+        self.n_bound = n_bound
         if self.records is not None and do_record:
             if self.records.wants_block_level():
-                z_h = np.asarray(z).reshape(self.n_shards, -1)
-                s_h = np.asarray(sizes).reshape(self.n_shards, -1)
-                states = np.concatenate(
-                    [z_h[j, : nb[j]] for j in range(self.n_shards)]
+                self._record_sharded_sweep(
+                    np.asarray(z), np.asarray(sizes), nb, int(n_bound)
                 )
-                szs = np.concatenate(
-                    [s_h[j, : nb[j]] for j in range(self.n_shards)]
-                )
-                n_bound = None
-                if "segments" in self.records.enabled:
-                    n_bound = int(np.asarray(jnp.sum(self.everb)))
-                self.records.record_sweep(states, szs, int(nb.sum()), n_bound)
             self.records.record_theta(
                 np.asarray(new_model.theta_mean),
                 np.asarray(new_model.theta_var),
@@ -727,10 +861,10 @@ class ShardedEngine:
 
     def finalize(self):
         if self.records is not None:
-            self.records.save_marginals(
-                self.marginal_counts.T,
-                np.asarray(self.everb)[: self.T],
-            )
+            if "marginals" in self.records.enabled:
+                # device-side RLE: only per-segment rows leave the devices
+                starts, seg_counts = compact_sharded_marginals(self)
+                self.records.save_marginals_from_segments(starts, seg_counts)
             self.records.close()
 
     @property

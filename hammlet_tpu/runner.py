@@ -38,7 +38,7 @@ from hammlet_tpu.ops.blocks import (
     build_ranked_weights_device,
 )
 from hammlet_tpu.ops.wavelet import breakpoint_weights, maxlet_transform
-from hammlet_tpu.samplers.sweep import RecordBuffers, gibbs_phase, gibbs_sweep
+from hammlet_tpu.samplers.sweep import RecordBuffers, gibbs_phase
 
 
 def parse_scheme(tokens: list[str]) -> list[tuple]:
@@ -75,8 +75,11 @@ def parse_scheme(tokens: list[str]) -> list[tuple]:
 
 
 #: sweeps per compiled scan chunk — phases run as repeats of one compiled
-#: program (+ one remainder size) to minimize XLA compiles
-PHASE_CHUNK = 32
+#: program (+ one remainder size) to minimize XLA compiles. Each chunk costs
+#: one host round trip (~24 ms on the remote-dispatch TPU tunnel), so larger
+#: chunks amortize it; the cost of a larger chunk is a coarser capacity
+#: ladder and bigger overflow replays (both rare after burn-in).
+PHASE_CHUNK = int(__import__("os").environ.get("HAMMLET_PHASE_CHUNK", 128))
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
@@ -328,7 +331,7 @@ class Engine:
         self.buffers = RecordBuffers.create(self.ing.T, K)
         self.model = sample_from_priors(self._next_key(), self.priors)
         self._dynamic = True
-        self._static_threshold = jnp.float32(0.0)
+        self._static_threshold = 0.0  # host float: passed per chunk
         if self.capacity is None:
             # size for the prior-threshold block structure with headroom
             thr = float(
@@ -363,9 +366,7 @@ class Engine:
 
     def set_static(self) -> None:
         self._dynamic = False
-        self._static_threshold = jnp.float32(
-            float(self.model.threshold(self.ing.T))
-        )
+        self._static_threshold = float(self.model.threshold(self.ing.T))
 
     def set_dynamic(self) -> None:
         self._dynamic = True
@@ -375,15 +376,14 @@ class Engine:
     ) -> None:
         """One F/M phase of `iterations` sweeps with record thinning.
 
-        Uses the fully on-device scanned phase (one dispatch, no per-sweep
-        host syncs) unless a record stream needs per-sweep block arrays.
-        ``start`` offsets the thinning counter when resuming a phase whose
-        first ``start`` sweeps already ran (checkpoint resume)."""
+        Always runs the fully on-device scanned phase (one dispatch per
+        32-sweep chunk, no per-sweep host syncs); streams that need
+        per-sweep block arrays get them stacked inside the scan and drained
+        once per chunk. ``start`` offsets the thinning counter when resuming
+        a phase whose first ``start`` sweeps already ran (checkpoint
+        resume)."""
         if iterations <= 0:
             return
-        needs_blocks = self.records is not None and bool(
-            {"sequences", "blocks", "segments"} & self.records.enabled
-        )
         import contextlib
         import os
 
@@ -395,14 +395,7 @@ class Engine:
         )
         t0 = time.time()
         with prof:
-            if needs_blocks:
-                for i in range(iterations):
-                    do_record = thinning > 0 and (start + i + 1) % thinning == 0
-                    self._one_sweep(method, do_record)
-                    self.scheme_op_done = start + i + 1
-                    self._maybe_checkpoint()
-            else:
-                self._run_phase_scanned(method, iterations, thinning, start)
+            self._run_phase_scanned(method, iterations, thinning, start)
             jax.block_until_ready(self.model.theta_mean)
         self.sample_time += time.time() - t0
         self.total_sweeps += iterations
@@ -411,19 +404,23 @@ class Engine:
         self, method: str, iterations: int, thinning: int, start: int = 0
     ) -> None:
         recording = thinning > 0
+        want_blocks = (
+            recording
+            and self.records is not None
+            and bool(
+                {"sequences", "blocks", "segments"} & self.records.enabled
+            )
+        )
         done = start
         end = start + iterations
         while done < end:
             n = min(PHASE_CHUNK, end - done)
-            key = self._next_key()
+            self.sweep_counter += 1
+            counter = self.sweep_counter  # fixed across overflow replays
             while True:
-                # snapshot buffers so an overflow replay cannot double-record
-                backup = (
-                    jax.tree.map(jnp.copy, self.buffers) if recording else None
-                )
                 cand_pos, cand_rank = self._candidates()
-                model, buffers, nbs, means, varis = gibbs_phase(
-                    key,
+                (model, buffers, prev, diag, nbs, means, varis, blk) = gibbs_phase(
+                    self._key,
                     self.model,
                     self.priors,
                     self.ing.ranked,
@@ -431,10 +428,11 @@ class Engine:
                     cand_rank,
                     self.ing.prefix,
                     self.buffers,
-                    jnp.int32(thinning),
-                    jnp.asarray(self._dynamic),
-                    self._static_threshold,
-                    jnp.int32(done),
+                    np.int32(counter),
+                    np.int32(thinning),
+                    np.bool_(self._dynamic),
+                    np.float32(self._static_threshold),
+                    np.int32(done),
                     method=method,
                     capacity=self.capacity,
                     spec_nr_params=self.spec.nr_params,
@@ -443,29 +441,48 @@ class Engine:
                     n_iters=n,
                     cell_bits=self.ing.cell_bits,
                     record=recording,
+                    want_blocks=want_blocks,
                 )
-                max_nb = int(np.asarray(jnp.max(nbs)))
+                # the chunk's single host sync: packed [max_nb, last_nb]
+                diag_h = np.asarray(diag)
+                max_nb = int(diag_h[0])
                 if max_nb <= self.capacity:
                     self.model, self.buffers = model, buffers
-                    self.last_n_blocks = int(np.asarray(nbs[-1]))
+                    self.last_n_blocks = int(diag_h[1])
                     break
                 self.capacity = min(self.ing.T, _round_capacity(2 * max_nb))
-                self.buffers = backup if backup is not None else buffers
+                # replay the chunk (same counter) from the pre-chunk snapshot
+                # so recorded sweeps cannot double-record
+                self.buffers = prev if prev is not None else buffers
             if self.records is not None and recording:
-                # transfer per-sweep trajectories only for enabled streams
-                # (each np.asarray is a blocking host round-trip)
+                # drain per-sweep trajectories once per chunk, only for
+                # enabled streams (each np.asarray is one host round-trip)
                 wants_comp = "compression" in self.records.enabled
                 wants_params = "parameters" in self.records.enabled
-                if wants_comp or wants_params:
+                rec_idx = [
+                    i for i in range(n) if (done + i + 1) % thinning == 0
+                ]
+                if rec_idx and (wants_comp or wants_params or want_blocks):
                     nbs_h = np.asarray(nbs)
                     means_h = np.asarray(means) if wants_params else None
                     varis_h = np.asarray(varis) if wants_params else None
-                    for i in range(n):
-                        if (done + i + 1) % thinning == 0:
-                            if wants_comp:
-                                self.records.record_compression(int(nbs_h[i]))
-                            if wants_params:
-                                self.records.record_theta(means_h[i], varis_h[i])
+                    if want_blocks:
+                        idx = jnp.asarray(rec_idx, dtype=jnp.int32)
+                        states_h = np.asarray(jnp.take(blk[0], idx, axis=0))
+                        sizes_h = np.asarray(jnp.take(blk[1], idx, axis=0))
+                        nbound_h = np.asarray(jnp.take(blk[2], idx, axis=0))
+                    for j, i in enumerate(rec_idx):
+                        if want_blocks:
+                            self.records.record_sweep(
+                                states_h[j],
+                                sizes_h[j],
+                                int(nbs_h[i]),
+                                int(nbound_h[j]),
+                            )
+                        elif wants_comp:
+                            self.records.record_compression(int(nbs_h[i]))
+                        if wants_params:
+                            self.records.record_theta(means_h[i], varis_h[i])
             done += n
             self.sweeps_completed += n
             self.scheme_op_done = done
@@ -486,57 +503,6 @@ class Engine:
 
             save_checkpoint(self, self.checkpoint_path)
             self._last_ckpt = self.sweeps_completed
-
-    def _one_sweep(self, method: str, do_record: bool) -> None:
-        key = self._next_key()
-        while True:
-            cand_pos, cand_rank = self._candidates()
-            new_model, new_buffers, outputs = gibbs_sweep(
-                key,
-                self.model,
-                self.priors,
-                self.ing.ranked,
-                cand_pos,
-                cand_rank,
-                self.ing.prefix,
-                self.buffers,
-                jnp.asarray(do_record),
-                jnp.asarray(self._dynamic),
-                self._static_threshold,
-                method=method,
-                capacity=self.capacity,
-                spec_nr_params=self.spec.nr_params,
-                mapping_tuple=self._mapping_tuple,
-                use_self_transitions=self.spec.use_self_transitions,
-                record=bool(do_record),
-            )
-            # recording is skipped in-graph on overflow, so new_buffers is
-            # value-preserving and the sweep can be replayed with the same
-            # key at a larger capacity
-            self.buffers = new_buffers
-            n_blocks = int(outputs.n_blocks)
-            if n_blocks <= self.capacity:
-                self.last_n_blocks = n_blocks
-                break
-            self.capacity = min(self.ing.T, _round_capacity(2 * n_blocks))
-        self.model = new_model
-        self.sweeps_completed += 1
-        if self.records is not None:
-            if do_record and self.records.wants_block_level():
-                n_bound = None
-                if "segments" in self.records.enabled:
-                    n_bound = int(jnp.sum(new_buffers.ever_boundary))
-                self.records.record_sweep(
-                    np.asarray(outputs.states),
-                    np.asarray(outputs.sizes),
-                    n_blocks,
-                    n_bound,
-                )
-            if do_record:
-                self.records.record_theta(
-                    np.asarray(new_model.theta_mean),
-                    np.asarray(new_model.theta_var),
-                )
 
     def run_scheme(self, tokens: list[str]) -> None:
         run_scheme_resumable(self, tokens)

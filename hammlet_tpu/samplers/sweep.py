@@ -58,11 +58,16 @@ class RecordBuffers(NamedTuple):
                    reference's marginal segment refinement
                    (StateMarginals.hpp:51-137)
     n_records:     () int32 — number of recorded sweeps
+    n_boundaries:  () int32 — running popcount of ever_boundary, maintained
+                   with an O(#blocks) gather per recorded sweep so the
+                   segments stream (Records.hpp:204-210) never needs an
+                   O(T) reduction on the sweep path
     """
 
     counts: jax.Array
     ever_boundary: jax.Array
     n_records: jax.Array
+    n_boundaries: jax.Array
 
     @staticmethod
     def create(T: int, K: int) -> "RecordBuffers":
@@ -79,6 +84,7 @@ class RecordBuffers(NamedTuple):
             counts=jnp.zeros((K * T,), dtype=jnp.int32),
             ever_boundary=jnp.zeros((T,), dtype=bool),
             n_records=jnp.zeros((), dtype=jnp.int32),
+            n_boundaries=jnp.zeros((), dtype=jnp.int32),
         )
 
 
@@ -191,13 +197,20 @@ def record_sweep(
     valid = (jnp.arange(B) < n_blocks) & enabled
     prev = jnp.concatenate([jnp.zeros((1,), states.dtype), states[:-1]])
     oob = jnp.int32(buffers.counts.shape[0])
-    flat = buffers.counts
     inc = jnp.where(valid, states * T + starts, oob)
-    flat = flat.at[inc].add(1, mode="drop")
     dec_ok = valid & (starts > 0)
     dec = jnp.where(dec_ok, prev * T + starts, oob)
-    flat = flat.at[dec].add(-1, mode="drop")
+    B_ones = jnp.ones((B,), jnp.int32)
+    flat = buffers.counts.at[jnp.concatenate([inc, dec])].add(
+        jnp.concatenate([B_ones, -B_ones]), mode="drop"
+    )
     chg = dec_ok & (states != prev)
+    # count newly-created boundaries BEFORE setting them (O(#blocks) gather;
+    # keeps the segments stream off any O(T) reduction)
+    was_set = jnp.where(
+        chg, buffers.ever_boundary[jnp.minimum(starts, T - 1)], True
+    )
+    newly = jnp.sum((chg & ~was_set).astype(jnp.int32))
     everb = buffers.ever_boundary.at[jnp.where(chg, starts, T)].set(
         True, mode="drop"
     )
@@ -205,6 +218,7 @@ def record_sweep(
         counts=flat,
         ever_boundary=everb,
         n_records=buffers.n_records + jnp.where(enabled, 1, 0),
+        n_boundaries=buffers.n_boundaries + newly,
     )
 
 
@@ -272,11 +286,12 @@ def _sweep_core(
 @functools.partial(
     jax.jit,
     static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple",
-                     "use_self_transitions", "n_iters", "cell_bits", "record"),
+                     "use_self_transitions", "n_iters", "cell_bits", "record",
+                     "want_blocks"),
     donate_argnames=("buffers",),
 )
 def gibbs_phase(
-    key: jax.Array,
+    master_key: jax.Array,
     model: HMMState,
     priors: HMMPriors,
     ranked: RankedWeights,
@@ -284,10 +299,11 @@ def gibbs_phase(
     cand_rank: jax.Array,
     prefix: PrefixStats,
     buffers: RecordBuffers,
-    thinning: jax.Array,  # () int32 (0 = never record)
-    use_dynamic: jax.Array,
-    static_threshold: jax.Array,
-    offset: jax.Array,  # () int32 phase-relative index of the first sweep
+    counter,  # () int32 — chunk key = fold_in(master_key, counter)
+    thinning,  # () int32 (0 = never record)
+    use_dynamic,
+    static_threshold,
+    offset,  # () int32 phase-relative index of the first sweep
     *,
     method: str,
     capacity: int,
@@ -297,17 +313,35 @@ def gibbs_phase(
     n_iters: int,
     cell_bits: int = 16,
     record: bool = True,
-) -> tuple[HMMState, RecordBuffers, jax.Array, jax.Array, jax.Array]:
-    """n_iters Gibbs sweeps as one on-device lax.scan — no host round-trips.
+    want_blocks: bool = False,
+):
+    """n_iters Gibbs sweeps as one on-device lax.scan.
+
+    Everything the driver needs per chunk comes out of this ONE program —
+    including the pre-chunk snapshot of the record buffers (``prev``, for
+    overflow replay) and the packed overflow diagnostics ``diag`` =
+    [max n_blocks, last n_blocks]. On a remote-dispatch TPU link every
+    extra eager op or fetch costs a ~24 ms round trip, which at 32-sweep
+    chunks used to double the per-sweep cost; the driver now syncs exactly
+    once per chunk (on ``diag``).
 
     Phases run as chunks of a fixed n_iters so one compiled program is
     reused; ``offset`` keeps the record-thinning pattern aligned with the
-    phase. Per-sweep RNG keys are fold_in(key, i), so the driver can replay
-    an identical chunk at a larger capacity after an overflow. Returns
-    (model, buffers, n_blocks_per_sweep, theta_means, theta_vars); the last
-    two are stacked per sweep for the parameters record stream.
+    phase. Per-sweep RNG keys are fold_in(fold_in(master, counter), i), so
+    the driver can replay an identical chunk at a larger capacity after an
+    overflow by passing the same counter. Returns
+    (model, buffers, prev, diag, nbs, theta_means, theta_vars[, blk]);
+    ``prev`` is None when ``record`` is static-False (buffers pass through
+    untouched). The stacked per-sweep trajectories feed the record streams
+    once per chunk instead of once per sweep (the reference records per
+    sweep, Records.hpp:155-235, but per-sweep host transfers would dominate
+    on a remote-dispatch link). With STATIC ``want_blocks`` the extra
+    ``blk`` output stacks (states, sizes, n_boundaries) per sweep for the
+    sequences/blocks/segments streams.
     """
     mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
+    key = jax.random.fold_in(master_key, counter)
+    prev = buffers if record else None
 
     def body(carry, i):
         model, buffers = carry
@@ -323,14 +357,18 @@ def gibbs_phase(
             use_self_transitions=use_self_transitions, cell_bits=cell_bits,
             record=record,
         )
-        return (new_model, new_buffers), (
-            outputs.n_blocks, new_model.theta_mean, new_model.theta_var
-        )
+        ys = (outputs.n_blocks, new_model.theta_mean, new_model.theta_var)
+        if want_blocks:
+            ys = ys + (outputs.states, outputs.sizes, new_buffers.n_boundaries)
+        return (new_model, new_buffers), ys
 
-    (model, buffers), (nbs, means, varis) = jax.lax.scan(
+    (model, buffers), ys = jax.lax.scan(
         body, (model, buffers), jnp.arange(n_iters)
     )
-    return model, buffers, nbs, means, varis
+    nbs, means, varis = ys[:3]
+    diag = jnp.stack([jnp.max(nbs), nbs[-1]]).astype(jnp.int32)
+    blk = ys[3:] if want_blocks else None
+    return model, buffers, prev, diag, nbs, means, varis, blk
 
 
 @functools.partial(

@@ -119,6 +119,15 @@ def test_engine_recovers_segmentation(tmp_path):
     fitted = sorted(float(par_lines[-1].split("\t")[i]) for i in (0, 2, 4))
     assert np.allclose(fitted, sorted(means), atol=0.5)
 
+    # segments: 20 lines of "nseg\tinternal"; the recorded segment count is
+    # the cumulative boundary-union size + 1 and can only grow
+    seg_lines = (tmp_path / "out-segments.csv").read_text().splitlines()
+    assert len(seg_lines) == 20
+    nsegs = [int(line.split("\t")[0]) for line in seg_lines]
+    assert all(a <= b for a, b in zip(nsegs, nsegs[1:]))
+    # the final count matches the marginals row count (same boundary union)
+    assert nsegs[-1] == len(rows)
+
 
 def test_cli_smoke(tmp_path):
     data, _, _ = synth_data(T=1200, seed=3)

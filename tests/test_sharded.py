@@ -44,22 +44,11 @@ def test_block_structure_matches_single_device(mesh8, tmp_path):
         np.asarray(e1.model.theta_var), np.asarray(e2.model.theta_var), rtol=1e-6
     )
 
-    e1._one_sweep("F", do_record=False)
+    e1.run("F", 1, 0)
     e2._one_sweep("F", do_record=False)
 
-    # reconstruct single-device block sizes for the SAME initial threshold by
-    # rerunning one sweep; both engines saw identical thresholds, so the
-    # block partitions must be identical
-    # (fetch from the outputs of the sweep that just ran)
-    # single-device: recompute directly
-    import jax.numpy as jnp
-    from hammlet_tpu.ops.blocks import make_blocks
-
-    thr = float(
-        np.sqrt(2 * np.log(e1.ing.T) * float(np.asarray(e1.model.theta_var).min()))
-    )  # not used; kept for clarity
-
-    # run one more sweep on both and compare the emitted block partitions
+    # run one more sweep on both under identical models (hence identical
+    # thresholds) and compare the emitted block partitions
     rec1 = Records(
         len(data), str(tmp_path / "a-"), ".csv", 3,
         outputs={"blocks", "sequences", "compression", "marginals"},
@@ -74,7 +63,7 @@ def test_block_structure_matches_single_device(mesh8, tmp_path):
     e2.records = rec2
     # force identical models (and thus thresholds) before the recorded sweep
     e2.model = jax.device_put(e1.model)
-    e1._one_sweep("F", do_record=True)
+    e1.run("F", 1, 1)
     e2._one_sweep("F", do_record=True)
     rec1.close()
     rec2.close()
@@ -118,6 +107,74 @@ def test_sharded_marginals_match_unsharded(mesh8, tmp_path):
         np.abs(m1 - m2[:, list(p)]).mean() for p in permutations(range(3))
     )
     assert best < 0.06, best
+
+
+def test_sharded_scanned_streams(mesh8, tmp_path):
+    """All six record streams drain correctly from the scanned sharded
+    phase (states/sizes/n_boundaries are stacked inside the scan and written
+    once per chunk)."""
+    data, _ = synth(T=2500, seed=4)
+    T = len(data)
+    rec = Records(
+        T, str(tmp_path / "sc-"), ".csv", 3,
+        outputs={"marginals", "sequences", "blocks", "compression",
+                 "parameters", "segments"},
+        overwrite=True,
+    )
+    e = make_sharded_engine(data, mesh=mesh8, nr_params=3, seed=8, records=rec)
+    e.run_scheme("M 20 0 F 40 4".split())
+    e.finalize()
+
+    seq_lines = (tmp_path / "sc-sequences.csv").read_text().splitlines()
+    assert len(seq_lines) == 10
+    for line in seq_lines:
+        toks = [tok.split(":") for tok in line.split("\t")]
+        assert sum(int(n) for n, _ in toks) == T
+    blk_lines = (tmp_path / "sc-blocks.csv").read_text().splitlines()
+    assert len(blk_lines) == 10
+    for line in blk_lines:
+        assert sum(map(int, line.split("\t"))) == T
+    seg_lines = (tmp_path / "sc-segments.csv").read_text().splitlines()
+    nsegs = [int(line.split("\t")[0]) for line in seg_lines]
+    assert len(nsegs) == 10 and all(a <= b for a, b in zip(nsegs, nsegs[1:]))
+    comp = (tmp_path / "sc-compression.csv").read_text().splitlines()
+    par = (tmp_path / "sc-parameters.csv").read_text().splitlines()
+    assert len(comp) == 10 and len(par) == 10
+    # marginal rows sum to the recorded sweep count; final segment count
+    # matches the marginals partition
+    rows = [
+        list(map(int, line.split("\t")))
+        for line in (tmp_path / "sc-marginals.csv").read_text().splitlines()
+    ]
+    assert sum(r[0] for r in rows) == T
+    assert all(sum(r[1:]) == 10 for r in rows)
+    assert nsegs[-1] == len(rows)
+
+
+def test_device_side_rle_matches_full_download(mesh8, tmp_path):
+    """compact_sharded_marginals (device-side RLE, downloads only segment
+    rows) writes a byte-identical marginals CSV to the full counts-buffer
+    download path."""
+    from hammlet_tpu.parallel.sharded import compact_sharded_marginals
+
+    data, _ = synth(T=3333, seed=9)
+    T = len(data)
+    e = make_sharded_engine(data, mesh=mesh8, nr_params=3, seed=3)
+    e.run_scheme("M 16 0 F 24 2".split())
+
+    # full-download oracle
+    rec1 = Records(T, str(tmp_path / "full-"), ".csv", 3, overwrite=True)
+    rec1.save_marginals(e.marginal_counts.T, np.asarray(e.everb)[:T])
+    rec1.close()
+
+    rec2 = Records(T, str(tmp_path / "rle-"), ".csv", 3, overwrite=True)
+    starts, seg_counts = compact_sharded_marginals(e)
+    rec2.save_marginals_from_segments(starts, seg_counts)
+    rec2.close()
+
+    assert (tmp_path / "rle-marginals.csv").read_bytes() == (
+        tmp_path / "full-marginals.csv"
+    ).read_bytes()
 
 
 def test_sharded_count_invariants(mesh8):
