@@ -60,6 +60,7 @@ from hammlet_tpu.ops.blocks import build_prefix_stats
 from hammlet_tpu.ops.wavelet import breakpoint_weights, maxlet_transform
 from hammlet_tpu.parallel.mesh import POS_AXIS, position_mesh
 from hammlet_tpu.samplers.forward_backward import (
+    _compose_maps_rev,
     _scaled_matmul,
     prefix_matmul_scan_t,
     suffix_compose_scan_t,
@@ -197,13 +198,16 @@ def _sharded_sweep_body(
         L = prefix_matmul_scan_t(M)  # (K, K, B)
         tots_all = jax.lax.all_gather(L[:, :, -1], POS_AXIS)  # (P, K, K)
 
-        pre = jax.lax.fori_loop(
-            0,
-            nP,
-            lambda j, acc: jnp.where(
-                j < k, _scaled_matmul(acc, tots_all[j]), acc
-            ),
+        # cross-shard prefix products in log depth (a sequential per-shard
+        # loop over P totals would be O(P) latency per sweep — noticeable
+        # at pod scale)
+        tot_prefix = jax.lax.associative_scan(
+            _scaled_matmul, tots_all, axis=0
+        )  # inclusive: (P, K, K)
+        pre = jnp.where(
+            k == 0,
             jnp.eye(K, dtype=jnp.float32),
+            tot_prefix[jnp.maximum(k - 1, 0)],
         )
         v_pre = model.pi @ pre  # (K,)
         alpha = jnp.sum(v_pre[:, None, None] * L, axis=0)  # (K, B)
@@ -211,13 +215,7 @@ def _sharded_sweep_body(
             jnp.sum(alpha, axis=0, keepdims=True), jnp.float32(1e-35)
         )
 
-        all_prod = jax.lax.fori_loop(
-            0,
-            nP,
-            lambda j, acc: _scaled_matmul(acc, tots_all[j]),
-            jnp.eye(K, dtype=jnp.float32),
-        )
-        v_last = model.pi @ all_prod
+        v_last = model.pi @ tot_prefix[-1]
         last_col = v_last / jnp.maximum(jnp.sum(v_last), jnp.float32(1e-35))
 
         m_star = jnp.max(jnp.where(nb_all > 0, shard_ids, -1))
@@ -250,28 +248,30 @@ def _sharded_sweep_body(
         r_suffix = suffix_compose_scan_t(maps)  # (K, B)
         tmaps_all = jax.lax.all_gather(r_suffix[:, 0], POS_AXIS)  # (P, K)
 
-        after = jax.lax.fori_loop(
-            0,
-            nP,
-            lambda i, acc: jnp.where(
-                (nP - 1 - i) > k, tmaps_all[nP - 1 - i][acc], acc
-            ),
+        # cross-shard suffix composition in log depth: after = the
+        # composition of all shard-total maps strictly after this shard
+        suffix_all = jax.lax.associative_scan(
+            _compose_maps_rev, tmaps_all, axis=0, reverse=True
+        )  # inclusive: (P, K)
+        after = jnp.where(
+            k == nP - 1,
             jnp.arange(K, dtype=jnp.int32),
+            suffix_all[jnp.minimum(k + 1, nP - 1)],
         )
         z_l = jnp.take(r_suffix, after[z_last], axis=0)  # (B,)
     else:  # pragma: no cover
         raise ValueError(f"unknown sampling method {method!r}")
 
     # ---- carry states across shards -------------------------------------
+    # the chain state entering this shard = the last block state of the
+    # highest-indexed earlier shard that has any blocks (vectorized masked
+    # argmax instead of a sequential O(P) loop)
     last_state_l = jnp.where(nb_l > 0, z_l[jnp.maximum(nb_l - 1, 0)], 0)
     laststates_all = jax.lax.all_gather(last_state_l, POS_AXIS)  # (P,)
-    carry_state = jax.lax.fori_loop(
-        0,
-        nP,
-        lambda j, acc: jnp.where(
-            (j < k) & (nb_all[j] > 0), laststates_all[j], acc
-        ),
-        jnp.int32(0),
+    prev_valid = (shard_ids < k) & (nb_all > 0)
+    jbest = jnp.max(jnp.where(prev_valid, shard_ids, -1))
+    carry_state = jnp.where(
+        jbest >= 0, laststates_all[jnp.maximum(jbest, 0)], jnp.int32(0)
     )
 
     # ---- sweep statistics (local, then psum) ----------------------------

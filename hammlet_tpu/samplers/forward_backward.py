@@ -40,12 +40,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hammlet_tpu.models.distributions import emission_log_weights
-
 
 def _scaled_matmul(x: jax.Array, y: jax.Array) -> jax.Array:
     """Combine for the forward scan: batched (K,K) @ (K,K), rescaled by the
-    max entry to stay in float32 range. Scale-invariant downstream."""
+    max entry to stay in float32 range. Scale-invariant downstream.
+    (Production runs the transposed Hillis-Steele form below; this combine
+    is the oracle form used by the sharded cross-shard prefix and tests.)"""
     z = jnp.einsum(
         "...ij,...jk->...ik", x, y, preferred_element_type=jnp.float32
     )
@@ -59,57 +59,6 @@ def _compose_maps_rev(later: jax.Array, earlier: jax.Array) -> jax.Array:
     suffix composition r_b = m_b ∘ m_{b+1} ∘ ... therefore needs
     (later, earlier) -> earlier[later[j]] (apply the later map first)."""
     return jnp.take_along_axis(earlier, later, axis=-1)
-
-
-#: group size for the two-level blocked scans: associative within groups
-#: (vectorized, log-depth), lax.scan across group totals (one compiled body).
-#: Keeps XLA graph size independent of the block capacity.
-_GROUP = 128
-
-
-def prefix_matmul_scan(M: jax.Array) -> jax.Array:
-    """Inclusive prefix products of (B, K, K) matrices under the rescaling
-    combine. Blocked formulation when B is a multiple of _GROUP, applied
-    recursively over group totals so every level stays vectorized (no long
-    sequential cross-group scan)."""
-    B, K, _ = M.shape
-    if B <= _GROUP or B % _GROUP:
-        return jax.lax.associative_scan(_scaled_matmul, M, axis=0)
-    G = B // _GROUP
-    x = M.reshape(G, _GROUP, K, K)
-    local = jax.lax.associative_scan(_scaled_matmul, x, axis=1)
-    totals = local[:, -1]  # (G, K, K)
-    tot_prefix = prefix_matmul_scan(totals)  # inclusive, recursive
-    # exclusive prefix of group totals
-    pre = jnp.concatenate(
-        [jnp.eye(K, dtype=M.dtype)[None], tot_prefix[:-1]], axis=0
-    )
-    return _scaled_matmul(pre[:, None], local).reshape(B, K, K)
-
-
-def suffix_compose_scan(maps: jax.Array) -> jax.Array:
-    """Suffix compositions r_b = m_b ∘ m_{b+1} ∘ ... ∘ m_{B-1} of (B, K)
-    index maps. Blocked two-level formulation when B is a multiple of
-    _GROUP."""
-    B, K = maps.shape
-    if B <= _GROUP or B % _GROUP:
-        return jax.lax.associative_scan(
-            _compose_maps_rev, maps, axis=0, reverse=True
-        )
-    G = B // _GROUP
-    x = maps.reshape(G, _GROUP, K)
-    local = jax.lax.associative_scan(
-        _compose_maps_rev, x, axis=1, reverse=True
-    )
-    totals = local[:, 0]  # (G, K): whole-group compositions
-    tot_suffix = suffix_compose_scan(totals)  # inclusive, recursive
-    # exclusive suffix: composition of groups strictly after g
-    ident = jnp.broadcast_to(jnp.arange(K, dtype=maps.dtype), (1, K))
-    after = jnp.concatenate([tot_suffix[1:], ident], axis=0)  # (G, K)
-    r = jnp.take_along_axis(
-        local, jnp.broadcast_to(after[:, None, :], local.shape), axis=-1
-    )
-    return r.reshape(B, K)
 
 
 def prefix_matmul_scan_t(Mt: jax.Array) -> jax.Array:
@@ -221,85 +170,6 @@ def backward_sample_t(
 
     r = suffix_compose_scan_t(maps)  # (K, B)
     return jnp.take(r, z_last, axis=0).astype(jnp.int32)
-
-
-def forward_columns(
-    log_e: jax.Array,
-    sizes: jax.Array,
-    n_blocks: jax.Array,
-    A: jax.Array,
-    pi: jax.Array,
-    use_self_transitions: bool,
-) -> tuple[jax.Array, jax.Array]:
-    """Run the forward filter.
-
-    log_e: (B, K) per-block log emission weights (no self-transition term)
-    Returns (cols, last_col):
-      cols: (B, K) trellis columns *including* the retroactive
-            self-transition scaling (ready for backward sampling),
-      last_col: (K,) unscaled final column alpha_{n_blocks-1}.
-    """
-    B, K = log_e.shape
-    sizes_f = sizes.astype(jnp.float32)
-    valid = (jnp.arange(B) < n_blocks)[:, None]  # (B, 1)
-
-    log_a_ss = jnp.log(jnp.diagonal(A))  # (K,)
-    E = log_e
-    if use_self_transitions:
-        E = E + (sizes_f[:, None] - 1.0) * log_a_ss[None, :]
-    # numerical shift per block (exp(E - maxE), ForwardBackward.hpp:82-84)
-    e = jnp.exp(E - jnp.max(E, axis=1, keepdims=True))
-    # per-block transition matrix; identity for padded blocks
-    M = A[None, :, :] * e[:, None, :]  # (B, K, K)
-    M = jnp.where(valid[:, :, None], M, jnp.eye(K, dtype=M.dtype)[None])
-    P = prefix_matmul_scan(M)  # (B, K, K)
-    alpha = jnp.einsum("i,bij->bj", pi, P, preferred_element_type=jnp.float32)
-    alpha = alpha / jnp.maximum(
-        jnp.sum(alpha, axis=1, keepdims=True), jnp.float32(1e-35)
-    )
-
-    last_col = alpha[jnp.maximum(n_blocks - 1, 0)]
-    if use_self_transitions:
-        # retroactive scaling of every column except the last real block
-        is_last = (jnp.arange(B) == n_blocks - 1)[:, None]
-        scale = jnp.exp((sizes_f[:, None] - 1.0) * log_a_ss[None, :])
-        cols = jnp.where(is_last, alpha, alpha * scale)
-    else:
-        cols = alpha
-    return cols, last_col
-
-
-def backward_sample(
-    key: jax.Array,
-    cols: jax.Array,
-    last_col: jax.Array,
-    n_blocks: jax.Array,
-    A: jax.Array,
-) -> jax.Array:
-    """Draw the joint state path given trellis columns. Returns (B,) int32
-    states (padded blocks repeat the last real state; mask downstream)."""
-    B, K = cols.shape
-    k_last, k_maps = jax.random.split(key)
-
-    # last state ~ Cat(last_col)
-    z_last = jax.random.categorical(k_last, jnp.log(last_col)[None, :])[0]
-
-    # independent predecessor draws pred_b[j] ~ Cat_i( cols_b[i] * A[i, j] )
-    logits = (
-        jnp.log(jnp.maximum(cols, jnp.float32(1e-38)))[:, :, None]
-        + jnp.log(jnp.maximum(A, jnp.float32(1e-38)))[None, :, :]
-    )  # (B, i=K, j=K)
-    gumbel = jax.random.gumbel(k_maps, (B, K, K), dtype=jnp.float32)
-    pred = jnp.argmax(logits + gumbel, axis=1).astype(jnp.int32)  # (B, j) -> i
-
-    # maps: m_b = pred_b for b < n_blocks - 1, identity otherwise
-    ident = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
-    use_pred = (jnp.arange(B) < n_blocks - 1)[:, None]
-    maps = jnp.where(use_pred, pred, ident)
-
-    # suffix composition: r_b = m_b ∘ m_{b+1} ∘ ... ∘ m_{B-1}
-    r = suffix_compose_scan(maps)
-    return jnp.take(r, z_last, axis=1).astype(jnp.int32)
 
 
 def fb_sample_states(

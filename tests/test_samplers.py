@@ -10,9 +10,8 @@ from hammlet_tpu.golden import reference as gold
 from hammlet_tpu.models.distributions import nig_sample, nig_update
 from hammlet_tpu.models.mapping import combinations_mapping
 from hammlet_tpu.samplers.forward_backward import (
-    backward_sample,
     fb_sample_states,
-    forward_columns,
+    forward_columns_t,
 )
 from hammlet_tpu.samplers.mixture import mixture_sample_states
 from hammlet_tpu.samplers.sweep import accumulate_sweep_stats
@@ -74,21 +73,26 @@ def test_nig_sample_moments():
 
 @pytest.mark.parametrize("use_self", [True, False])
 def test_forward_columns_match_golden(use_self):
+    """The production transposed-layout forward filter matches the golden
+    sequential recursion (the untransposed twin was removed; golden tests
+    target the (K, B) path the engines actually run)."""
+    from hammlet_tpu.models.distributions import emission_log_weights_t
+
     p = _toy_problem(seed=11)
-    log_e = emission_log_weights(
+    log_e_t = emission_log_weights_t(
         jnp.asarray(p["stats"]), jnp.asarray(p["sizes"]),
         jnp.asarray(p["theta_mean"]), jnp.asarray(p["theta_var"]),
         jnp.asarray(p["mapping"]),
     )
-    cols, last = forward_columns(
-        log_e, jnp.asarray(p["sizes"]), jnp.int32(p["B"]),
+    cols_t, last = forward_columns_t(
+        log_e_t, jnp.asarray(p["sizes"]), jnp.int32(p["B"]),
         jnp.asarray(p["A"]), jnp.asarray(p["pi"]), use_self,
     )
     want_cols, want_last = gold.fb_forward_columns(
         p["sums"], p["sumsqs"], p["N"], p["theta_mean"], p["theta_var"],
         p["A"], p["pi"], p["mapping"], use_self,
     )
-    got_cols = np.asarray(cols)[: p["B"]]
+    got_cols = np.asarray(cols_t).T[: p["B"]]
     # golden columns are normalized pre-scaling; ours are too -> same scale
     np.testing.assert_allclose(got_cols, want_cols, rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(last), want_last, rtol=2e-4, atol=1e-6)
