@@ -46,7 +46,6 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from hammlet_tpu.io.records import Records
-from hammlet_tpu.models.autopriors import autoprior_host, noise_std_estimate
 from hammlet_tpu.models.hmm import (
     HMMPriors,
     HMMState,
@@ -56,8 +55,6 @@ from hammlet_tpu.models.hmm import (
     sample_from_priors,
 )
 from hammlet_tpu.models.distributions import emission_log_weights_t
-from hammlet_tpu.ops.blocks import build_prefix_stats
-from hammlet_tpu.ops.wavelet import breakpoint_weights, maxlet_transform
 from hammlet_tpu.parallel.mesh import POS_AXIS, position_mesh
 from hammlet_tpu.samplers.forward_backward import (
     _compose_maps_rev,
@@ -576,10 +573,16 @@ class ShardedEngine:
             )
         T_pad = self.T_local * self.n_shards
         shard = NamedSharding(self.mesh, P(POS_AXIS))
-        self.counts = jax.device_put(
-            jnp.zeros((self.n_shards * K * self.T_local,), jnp.int32), shard
-        )
-        self.everb = jax.device_put(jnp.zeros((T_pad,), bool), shard)
+        # allocate the sharded accumulators in place (a plain jnp.zeros +
+        # device_put would materialize the full-size buffer on one device
+        # first — GBs at genome scale)
+        self.counts = jax.jit(
+            lambda: jnp.zeros((self.n_shards * K * self.T_local,), jnp.int32),
+            out_shardings=shard,
+        )()
+        self.everb = jax.jit(
+            lambda: jnp.zeros((T_pad,), bool), out_shardings=shard
+        )()
         self.n_rec = jnp.zeros((), jnp.int32)
         self.n_bound = jnp.zeros((), jnp.int32)
         self.model = sample_from_priors(self._next_key(), self.priors)
@@ -928,9 +931,11 @@ def _local_r_with_edges(r_pad: np.ndarray, n_shards: int, T_local: int, cell: in
 
 
 def make_sharded_engine(
-    data: np.ndarray,
+    data,
     mesh: Mesh | None = None,
     n_devices: int | None = None,
+    T: int | None = None,
+    dim: int | None = None,
     nr_params: int = 3,
     nr_data_dim: int = 1,
     seed: int = 0,
@@ -944,55 +949,48 @@ def make_sharded_engine(
     records: Records | None = None,
     cap_local: int | None = None,
 ) -> ShardedEngine:
-    """Ingest + auto-priors + sharded engine construction."""
+    """Ingest + auto-priors + sharded engine construction.
+
+    Ingest runs shard by shard with bounded host memory (O(T_local * dim)
+    peak instead of O(T); see parallel/ingest.py). ``data`` is either the
+    (T, dim) array or a provider ``f(start, stop) -> chunk`` with explicit
+    T/dim, so genome-scale inputs can stream from disk without ever being
+    resident."""
+    from hammlet_tpu.parallel.ingest import sharded_ingest
+
     if mesh is None:
         mesh = position_mesh(n_devices)
     n_shards = mesh.devices.size
-    data = np.asarray(data, dtype=np.float32)
-    if data.ndim == 1:
-        data = data[:, None]
-    T, dim = data.shape
+    if not callable(data):
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim == 1:
+            data = data[:, None]
+        T, dim = data.shape
+    elif T is None or dim is None:
+        raise ValueError("T and dim are required with a data provider")
     T_local, cell_bits = _choose_layout(T, n_shards)
-    cell = 1 << cell_bits
-    T_pad = T_local * n_shards
 
-    from hammlet_tpu.runner import host_transform
-
-    _, noise, weights = host_transform(data)
-    if weight_multiplier != 1.0:
-        weights = weights * np.float32(weight_multiplier)
-    w_pad = np.full(T_pad, -np.inf, dtype=np.float32)
-    w_pad[:T] = weights
-
-    data_pad = np.zeros((T_pad, dim), dtype=np.float32)
-    data_pad[:T] = data
-    prefix = build_prefix_stats(data_pad, cell_bits)
-    r_pad = np.asarray(prefix.r)[:T_pad]
-    r_local = _local_r_with_edges(r_pad, n_shards, T_local, cell)
+    ing = sharded_ingest(
+        mesh, data, T, dim,
+        T_local=T_local, cell_bits=cell_bits,
+        weight_multiplier=weight_multiplier,
+    )
 
     spec = ModelSpec(nr_params, nr_data_dim, use_self_transitions)
-    thr0 = np.sqrt(2 * np.log(float(T))) * noise
-    nig_row = autoprior_host(s2, p, data, weights, noise)
+    # auto-prior closed form from the streamed block means
+    # (AutoPriors.hpp:86-107; same reduction as autoprior_host)
+    from hammlet_tpu.models.autopriors import nig_autoprior
+
+    means = ing.block_means
+    n = max(means.size, 1)
+    mean = means.sum() / n
+    var = (means * means).sum() / n - mean * mean
+    nig_row = nig_autoprior(s2, p, float(mean), float(var))
     nig = np.tile(nig_row, (nr_params, 1))
     priors = HMMPriors.create(nig, spec.nr_states, trans, self_trans, initial_alpha)
 
-    # per-shard rank structure: each shard's slice holds its own sorted list
-    w2 = w_pad.reshape(n_shards, T_local)
-    order = np.argsort(-w2, axis=1, kind="stable")
-    negw_local = (-np.take_along_axis(w2, order, axis=1)).reshape(-1)
-    rank_local = order.astype(np.int32).reshape(-1)
-
-    shard = NamedSharding(mesh, P(POS_AXIS))
-    rep = NamedSharding(mesh, P())
-    negw_dev = jax.device_put(jnp.asarray(negw_local), shard)
-    rank_dev = jax.device_put(jnp.asarray(rank_local), shard)
-    r_dev = jax.device_put(jnp.asarray(r_local), shard)
-    q2_hi = jax.device_put(prefix.q2_hi, rep)
-    q2_lo = jax.device_put(prefix.q2_lo, rep)
-
     if cap_local is None:
-        nb0 = int((weights >= thr0).sum())
-        cap_local = min(T_local, max(64, 4 * nb0 // n_shards + 64))
+        cap_local = min(T_local, max(64, 4 * ing.nb0 // n_shards + 64))
 
     return ShardedEngine(
         mesh=mesh,
@@ -1002,11 +1000,11 @@ def make_sharded_engine(
         T=T,
         T_local=T_local,
         cell_bits=cell_bits,
-        negw=negw_dev,
-        rank=rank_dev,
-        r=r_dev,
-        q2_hi=q2_hi,
-        q2_lo=q2_lo,
+        negw=ing.negw,
+        rank=ing.rank,
+        r=ing.r,
+        q2_hi=ing.q2_hi,
+        q2_lo=ing.q2_lo,
         records=records,
         cap_local=cap_local,
     )
