@@ -1,0 +1,91 @@
+"""Genome-scale sharded run with bounded host memory.
+
+Synthesizes chromosome-scale input through a chunk provider (the full data
+array NEVER exists in host memory), builds the position-sharded engine, runs
+a recorded sampling scheme, RLE-compacts the marginals on device, and
+reports peak host RSS + throughput as one JSON line.
+
+    JAX_PLATFORMS=cpu python benchmarks/genome_scale.py --T 250000000 \
+        --devices 8 --scheme "M 10 0 F 20 2"
+
+This is the workload the reference bounds with streaming ingest + an RLE
+marginal store (wavelet.hpp:98-188, StateMarginals.hpp:20-21,
+doc/hammlet-manpage.md:178 "100M points on a standard laptop").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+MEANS = np.array([0.0, 5.0, -5.0], dtype=np.float64)
+SEG = 1000  # positions per planted segment
+
+
+def chunk(start: int, stop: int) -> np.ndarray:
+    """Deterministic position-stable synthetic CNV-like data: piecewise
+    constant segment means + bounded pseudo-noise (no RNG state, so any
+    slice can be regenerated independently)."""
+    pos = np.arange(start, stop, dtype=np.int64)
+    seg = pos // SEG
+    mean = MEANS[(seg * 2654435761) % 3]
+    x = np.sin(pos * 12.9898 + 78.233) * 43758.5453
+    noise = (x - np.floor(x)) - 0.5
+    return (mean + noise).astype(np.float32)[:, None]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--T", type=int, default=250_000_000)
+    ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--scheme", default="M 6 0 F 10 2")
+    ap.add_argument("--outdir", default=None)
+    args = ap.parse_args()
+
+    from hammlet_tpu.io.records import Records
+    from hammlet_tpu.parallel import make_sharded_engine, position_mesh
+    from hammlet_tpu.runner import enable_compilation_cache
+
+    enable_compilation_cache()
+    outdir = args.outdir or tempfile.mkdtemp(prefix="hammlet-genome-")
+    t0 = time.time()
+    rec = Records(
+        args.T, os.path.join(outdir, "g-"), ".csv", 3,
+        outputs={"marginals", "compression"}, overwrite=True,
+    )
+    eng = make_sharded_engine(
+        chunk, mesh=position_mesh(args.devices), T=args.T, dim=1,
+        nr_params=3, seed=0, records=rec,
+    )
+    t_ingest = time.time() - t0
+    eng.run_scheme(args.scheme.split())
+    t1 = time.time()
+    eng.finalize()
+    t_final = time.time() - t1
+
+    n_seg = sum(1 for _ in open(os.path.join(outdir, "g-marginals.csv")))
+    peak_rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    m = eng.metrics()
+    print(json.dumps({
+        "T": args.T,
+        "devices": eng.n_shards,
+        "ingest_s": round(t_ingest, 2),
+        "sweeps_per_second": round(m["sweeps_per_second"], 2),
+        "positions_per_second": round(m["positions_per_second"], 0),
+        "finalize_s": round(t_final, 2),
+        "marginal_segments": n_seg,
+        "peak_rss_bytes": peak_rss,
+        "outdir": outdir,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

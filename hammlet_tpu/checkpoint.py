@@ -103,9 +103,19 @@ def restore_checkpoint(engine, path: str) -> None:
     _restore_scheme_tokens(engine, z)
 
 
+def _fetch_global(engine, x) -> np.ndarray:
+    """Host copy of a possibly process-spanning sharded array."""
+    from hammlet_tpu.parallel.sharded import _replicated_fetch
+
+    return _replicated_fetch(engine.mesh, x)
+
+
 def save_sharded_checkpoint(engine, path: str) -> None:
     """Serialize a ShardedEngine's resumable state (marginal counts are
-    gathered to host; restore re-shards them over the engine's mesh)."""
+    gathered to host; restore re-shards them over the engine's mesh). The
+    gather is a collective: in a multi-host run EVERY process must call this
+    at the same point (configure the same checkpoint_every on all ranks,
+    with a rank-local path — any rank's file can seed the resume)."""
     state = {
         "seed": np.int64(engine.seed),
         "n_shards": np.int64(engine.n_shards),
@@ -118,8 +128,8 @@ def save_sharded_checkpoint(engine, path: str) -> None:
         "theta_var": np.asarray(engine.model.theta_var),
         "A": np.asarray(engine.model.A),
         "pi": np.asarray(engine.model.pi),
-        "counts": np.asarray(engine.counts),
-        "everb": np.asarray(engine.everb),
+        "counts": _fetch_global(engine, engine.counts),
+        "everb": _fetch_global(engine, engine.everb),
         "n_rec": np.asarray(engine.n_rec),
         "n_bound": np.asarray(engine.n_bound),
         "total_sweeps": np.float64(engine.total_sweeps),

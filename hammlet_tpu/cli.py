@@ -78,24 +78,60 @@ _OUTPUT_ALIASES = {
 }
 
 
+_REGISTERED = set(_DEFAULTS) | {
+    "-v", "-g", "-h", "-w", "-a", "-S", "-f", "-R", "-C", "-D",
+}
+
+
+def _looks_numeric(tok: str) -> bool:
+    """A '-'-prefixed token that is a negative number, not a flag typo."""
+    return len(tok) > 1 and (tok[1].isdigit() or tok[1] == ".")
+
+
 def parse_args(argv: list[str]) -> dict[str, list[str]]:
-    """Registered-flag tokenizer (src/Parser.hpp:83-305): every token after a
-    registered flag and before the next one belongs to that flag."""
+    """Registered-flag tokenizer (src/Parser.hpp:142-193): every token after
+    a registered flag and before the next one belongs to that flag.
+    Duplicate and positional-first errors mirror the reference; unregistered
+    '-x' tokens are rejected up front (the reference's parser swallows them
+    as parameters and fails later with a conversion error — failing fast
+    here prevents a typo like '-q' from silently corrupting a flag's
+    arguments; PARITY.md)."""
     out: dict[str, list[str]] = {}
     cur: str | None = None
     for tok in argv:
         canon = _FLAG_ALIASES.get(tok, tok)
-        if canon.startswith("-") and (
-            canon in _DEFAULTS
-            or canon in ("-v", "-g", "-h", "-w", "-a", "-S", "-f", "-R", "-C", "-D")
-        ):
+        if canon in _REGISTERED:
+            if canon in out:
+                raise SystemExit(f"Duplicate flag {tok}!")
             cur = canon
-            out.setdefault(cur, [])
+            out[cur] = []
+        elif tok.startswith("-") and not _looks_numeric(tok):
+            raise SystemExit(f"Unknown flag {tok}!")
         else:
             if cur is None:
-                raise SystemExit(f"Unexpected token {tok!r} before any flag")
+                raise SystemExit(
+                    f"First input token ({tok}) is not a registered flag; "
+                    "parser does not support positional arguments!"
+                )
             out[cur].append(tok)
     return out
+
+
+def _conv(conv, s: str):
+    """Typed token conversion with the reference's error text
+    (Parser.hpp:46-54)."""
+    try:
+        return conv(s)
+    except (TypeError, ValueError):
+        raise ValueError(f'Conversion failed for string "{s}"!')
+
+
+def _parse_at(tokens: list[str], index: int, conv, flag: str):
+    """parse<T>(flag, index) with the reference's bounds error
+    (Parser.hpp:196-208)."""
+    if index >= len(tokens):
+        raise ValueError(f"Not enough arguments for flag {flag}!")
+    return _conv(conv, tokens[index])
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -115,8 +151,13 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run(args: dict[str, list[str]]) -> int:
+    from hammlet_tpu.parallel.distributed import initialize_from_env
     from hammlet_tpu.runner import enable_compilation_cache
 
+    # multi-host runtime: HAMMLET_NUM_PROCESSES & friends start
+    # jax.distributed before any backend use; jax.devices() then spans hosts
+    # and -D shards the position axis over the process-spanning mesh
+    initialize_from_env()
     enable_compilation_cache()
 
     def get(flag: str) -> list[str]:
@@ -133,9 +174,14 @@ def _run(args: dict[str, list[str]]) -> int:
     overwrite = "-w" in args
 
     if "-g" in args:
-        for flag in sorted(set(args) | set(_DEFAULTS)):
-            mark = "*" if flag in args else " "
-            print(f"[{mark}] {flag}: {' '.join(get(flag))}")
+        # reference dump format (Parser.hpp:242-269): one line per flag
+        # group listing every alias, set-marker, then effective tokens
+        groups: dict[str, list[str]] = {c: [c] for c in sorted(_REGISTERED)}
+        for alias, canon in _FLAG_ALIASES.items():
+            groups[canon].append(alias)
+        for canon, aliases in groups.items():
+            mark = "*" if canon in args else " "
+            print(f"[{mark}] {' '.join(aliases)} : {' '.join(get(canon))}")
 
     # output prefix/suffix (main.cpp:92-100)
     if "-o" not in args and "-f" in args and args["-f"]:
@@ -150,12 +196,16 @@ def _run(args: dict[str, list[str]]) -> int:
         opref = o[0] if len(o) > 0 else "hammlet-"
         osuff = o[1] if len(o) > 1 else ".csv"
 
-    seed = int(get("-R")[0]) if args.get("-R") else int(time.time())
+    seed = (
+        _parse_at(args["-R"], 0, int, "-R")
+        if args.get("-R")
+        else int(time.time())
+    )
 
     # state / mapping spec (main.cpp:117-137)
     s_tokens = get("-s")
     if len(s_tokens) == 1:
-        nr_params, nr_dim = int(s_tokens[0]), 1
+        nr_params, nr_dim = _parse_at(s_tokens, 0, int, "-s"), 1
     else:
         if s_tokens[0] in ("I", "independent"):
             # accepted by the reference's parser but unimplemented there too
@@ -163,14 +213,16 @@ def _run(args: dict[str, list[str]]) -> int:
             raise ValueError('Mapping type "independent" not implemented yet!')
         if s_tokens[0] not in ("C", "combinations"):
             raise ValueError(f"Unknown mapping type {s_tokens[0]}!")
-        nr_params = int(s_tokens[1])
-        nr_dim = int(s_tokens[2]) if len(s_tokens) >= 3 else 1
+        nr_params = _parse_at(s_tokens, 1, int, "-s")
+        nr_dim = _parse_at(s_tokens, 2, int, "-s") if len(s_tokens) >= 3 else 1
 
     t_tokens = get("-t")
-    trans = float(t_tokens[0])
-    self_trans = float(t_tokens[1]) if len(t_tokens) > 1 else trans
-    initial_alpha = float(get("-I")[0])
-    weight_multiplier = float(get("-m")[0])
+    trans = _parse_at(t_tokens, 0, float, "-t")
+    self_trans = (
+        _parse_at(t_tokens, 1, float, "-t") if len(t_tokens) > 1 else trans
+    )
+    initial_alpha = _parse_at(get("-I"), 0, float, "-I")
+    weight_multiplier = _parse_at(get("-m"), 0, float, "-m")
     use_self = "-S" not in args
 
     e_tokens = get("-e")
@@ -178,7 +230,8 @@ def _run(args: dict[str, list[str]]) -> int:
         raise ValueError(f"Emission type {e_tokens[0]} unknown or not implemented yet!")
     if "-a" not in args:
         raise ValueError("Manual theta priors not implemented, use -a!")
-    s2, p = float(e_tokens[1]), float(e_tokens[2])
+    s2 = _parse_at(e_tokens, 1, float, "-e")
+    p = _parse_at(e_tokens, 2, float, "-e")
 
     outputs = {_OUTPUT_ALIASES.get(t, t) for t in get("-O")}
 

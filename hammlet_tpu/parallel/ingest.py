@@ -212,6 +212,34 @@ def _cell_prefix(data: np.ndarray, T_local: int, cell_bits: int):
     return r, cell_tot
 
 
+def _gather_shard_payloads(mesh, payloads: dict[int, np.ndarray]) -> np.ndarray:
+    """All-gather equal-shaped per-shard host payloads to every process.
+
+    ``payloads`` maps shard index -> array for each shard whose device is
+    process-local. Returns the (n_shards, *payload_shape) array, identical
+    on every process. float64 payloads travel bit-exactly as int32 views
+    (CPU/TPU device buffers are float32-only without x64). Single-process
+    this is one device round-trip of O(n_shards * payload) bytes."""
+    devices = mesh.devices.reshape(-1)
+    sample = next(iter(payloads.values()))
+    shape = sample.shape
+    if sample.dtype == np.float64:
+        view = {j: np.ascontiguousarray(p).view(np.int32) for j, p in payloads.items()}
+        out = _gather_shard_payloads(mesh, view)
+        return out.view(np.float64).reshape((len(devices),) + shape)
+    pieces = [
+        jax.device_put(payloads[j], d)
+        for j, d in enumerate(devices)
+        if d.process_index == jax.process_index()
+    ]
+    sharded = NamedSharding(mesh, P(POS_AXIS))
+    x = jax.make_array_from_single_device_arrays(
+        (len(devices) * shape[0],) + shape[1:], sharded, pieces
+    )
+    rep = jax.jit(lambda v: v, out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(rep).reshape((len(devices),) + shape)
+
+
 @dataclass
 class ShardedIngest:
     """Device-resident sharded ingest products (bounded host memory)."""
@@ -223,7 +251,8 @@ class ShardedIngest:
     q2_lo: jax.Array
     noise_std: float
     nb0: int  # boundary count at the universal threshold
-    block_means: np.ndarray  # (n_blocks0 * dim,) block means at thr0
+    block_means: np.ndarray  # (3,) f64 moments of the thr0 block means:
+    #                          [sum m, sum m^2, count] over (block, dim)
     T: int
     dim: int
     T_local: int
@@ -271,130 +300,177 @@ def sharded_ingest(
     n_cells_pad = (n_shards * T_local) >> cell_bits
     n_cells = -(-T // cell)
     cells_per_shard = T_local >> cell_bits
+    proc = jax.process_index()
+    local = [j for j, d in enumerate(devices) if d.process_index == proc]
 
-    # ---- pass 1: local maxlet + prefix cells, one shard at a time --------
-    coeffs_parts: list[np.ndarray] = []  # trimmed local coeffs, freed pass 2
-    dyadic_parts: list[np.ndarray] = []
-    cell_tot = np.zeros((n_cells_pad, dim, 2), dtype=np.float64)
+    # ---- pass 1: local maxlet + prefix cells, one local shard at a time --
+    # every process touches only its own shards' data; the per-shard
+    # summaries exchanged below are O(T / 2^cell_bits) — bytes per megabase
+    coeffs_parts: dict[int, np.ndarray] = {}
+    pay1: dict[int, np.ndarray] = {}  # [cell_tot | dyadic | odd_sum, odd_cnt]
     r_pieces: list[jax.Array] = []
-    odd_sum = 0.0
-    odd_cnt = 0
-    for j in range(n_shards):
+    pay1_len = cells_per_shard * dim * 2 + cells_per_shard * dim + 2
+    for j in local:
         start = j * T_local
         stop = min(start + T_local, T)
-        if start >= T:
-            coeffs_parts.append(np.zeros(0, dtype=F32))
-            dyadic_parts.append(np.zeros((0, dim), dtype=F32))
-            piece = np.zeros((T_local + 1, dim, 2), dtype=np.float32)
-            r_pieces.append(jax.device_put(piece, devices[j]))
-            continue
-        d = provider(start, stop)
-        coeffs, csums = _local_maxlet(d, cell_bits)
-        coeffs_parts.append(coeffs)
-        dyadic_parts.append(csums)
-        # noise partials: odd local == odd global (T_local is even);
-        # every odd position < T has a finite level-1 coefficient
-        odd = coeffs[1::2]
-        odd_sum += float(odd.astype(np.float64).sum())
-        odd_cnt += len(odd)
-        r_loc, ct = _cell_prefix(d, T_local, cell_bits)
-        cell_tot[j * cells_per_shard : (j + 1) * cells_per_shard] = ct
+        payload = np.zeros(pay1_len, dtype=np.float64)
         piece = np.zeros((T_local + 1, dim, 2), dtype=np.float32)
-        piece[:T_local] = r_loc
-        # extra right-edge row: R[shard_end] = full total of the next
-        # shard's first cell (0 past the data)
-        nstart = (j + 1) * T_local
-        if nstart < T:
-            nd = np.asarray(
-                provider(nstart, min(nstart + cell, T)), dtype=np.float64
-            )
-            if nd.ndim == 1:
-                nd = nd[:, None]
-            piece[T_local, :, 0] = nd.sum(axis=0).astype(np.float32)
-            piece[T_local, :, 1] = (nd * nd).sum(axis=0).astype(np.float32)
+        if start < T:
+            d = provider(start, stop)
+            coeffs, csums = _local_maxlet(d, cell_bits)
+            coeffs_parts[j] = coeffs
+            # dyadic level-c sums (exact as float64) for the top levels
+            dy = np.zeros((cells_per_shard, dim), dtype=np.float64)
+            dy[: len(csums)] = csums
+            # noise partials: odd local == odd global (T_local is even);
+            # every odd position < T has a finite level-1 coefficient
+            odd = coeffs[1::2]
+            r_loc, ct = _cell_prefix(d, T_local, cell_bits)
+            o = cells_per_shard * dim * 2
+            payload[:o] = ct.ravel()
+            payload[o : o + cells_per_shard * dim] = dy.ravel()
+            payload[-2] = float(odd.astype(np.float64).sum())
+            payload[-1] = float(len(odd))
+            piece[:T_local] = r_loc
+            # extra right-edge row: R[shard_end] = full total of the next
+            # shard's first cell (0 past the data)
+            nstart = (j + 1) * T_local
+            if nstart < T:
+                nd = np.asarray(
+                    provider(nstart, min(nstart + cell, T)), dtype=np.float64
+                )
+                if nd.ndim == 1:
+                    nd = nd[:, None]
+                piece[T_local, :, 0] = nd.sum(axis=0).astype(np.float32)
+                piece[T_local, :, 1] = (nd * nd).sum(axis=0).astype(np.float32)
+            del d, r_loc
+        else:
+            coeffs_parts[j] = np.zeros(0, dtype=F32)
+        pay1[j] = payload
         r_pieces.append(jax.device_put(piece, devices[j]))
-        del d, r_loc
 
+    gathered = _gather_shard_payloads(mesh, pay1)  # (P, pay1_len) f64
+    o = cells_per_shard * dim * 2
+    cell_tot = gathered[:, :o].reshape(n_cells_pad, dim, 2)
+    dyadic_all = gathered[:, o : o + cells_per_shard * dim].reshape(
+        n_cells_pad, dim
+    )
+    odd_sum = float(gathered[:, -2].sum())
+    odd_cnt = int(gathered[:, -1].sum())
     noise = (odd_sum / max(odd_cnt, 1)) / float(
         0.797884560802865355879892119868763736951717262329869315331
     )
 
-    # ---- global cell-level structures (O(T / 2^c), tiny) -----------------
+    # ---- global cell-level structures (O(T / 2^c), tiny; replicated) -----
     q2 = np.zeros((n_cells_pad + 1, dim, 2), dtype=np.float64)
     np.cumsum(cell_tot, axis=0, out=q2[:n_cells_pad])
     q2[n_cells_pad] = q2[n_cells_pad - 1]
     q2_hi_h = q2.astype(np.float32)
     q2_lo_h = (q2 - q2_hi_h.astype(np.float64)).astype(np.float32)
 
-    dyadic = (
-        np.concatenate(dyadic_parts, axis=0)
-        if dyadic_parts
-        else np.zeros((0, dim), dtype=F32)
-    )
+    n_full_cells = T >> cell_bits
+    dyadic = dyadic_all[:n_full_cells].astype(np.float32)
     cell_coeffs = _top_maxlet(dyadic, n_cells, cell_bits)
     cw = _cell_weights(cell_coeffs, T, cell_bits)
 
-    # ---- pass 2: local weight propagation + ranking + autoprior ----------
+    # ---- pass 2a: local sub-cell weight propagation + halo exchange ------
     thr = np.float32(np.sqrt(2.0 * np.log(float(T))) * noise)
-    halo_prev = -np.inf
+    halos: dict[int, np.ndarray] = {}
+    for j in local:
+        w = coeffs_parts[j]
+        L = len(w)
+        halo_out = -np.inf
+        if L:
+            cws = cw[j * cells_per_shard : j * cells_per_shard + (-(-L // cell))]
+            w[::cell][: len(cws)] = cws
+            halo_out = _local_weight_pass(w, j * T_local, T, cell_bits)
+        halos[j] = np.array([halo_out], dtype=np.float64)
+    halos_all = _gather_shard_payloads(mesh, halos)[:, 0]  # (P,)
+
+    # ---- pass 2b: ranking + streaming auto-prior block statistics --------
     negw_pieces: list[jax.Array] = []
     rank_pieces: list[jax.Array] = []
-    nb0 = 0
-    block_sums: list[np.ndarray] = []  # completed per-block (dim,) means
-    carry_sum = np.zeros(dim, dtype=np.float64)
-    carry_cnt = 0
-    for j in range(n_shards):
+    # per-shard summary: [n_starts, head_cnt, tail_cnt, inner_n,
+    #                     inner_sum_m, inner_sum_m2, head_sum*, tail_sum*]
+    summaries: dict[int, np.ndarray] = {}
+    for j in local:
         start = j * T_local
         stop = min(start + T_local, T)
         w = coeffs_parts[j]
         L = len(w)
+        summ = np.zeros(6 + 2 * dim, dtype=np.float64)
         if L:
-            cws = cw[j * cells_per_shard : j * cells_per_shard + (-(-L // cell))]
-            w[:: cell][: len(cws)] = cws
-            halo_out = _local_weight_pass(w, start, T, cell_bits)
+            halo_prev = halos_all[j - 1] if j > 0 else -np.inf
             w[0] = np.maximum(w[0], np.float32(halo_prev))
-            halo_prev = halo_out
             if weight_multiplier != 1.0:
                 w = w * np.float32(weight_multiplier)
-            # streaming auto-prior block stats at the universal threshold
             starts_loc = np.flatnonzero(w >= thr)
-            nb0 += len(starts_loc)
             d64 = np.asarray(provider(start, stop), dtype=np.float64)
             if d64.ndim == 1:
                 d64 = d64[:, None]
-            if len(starts_loc) == 0:
-                carry_sum += d64.sum(axis=0)
-                carry_cnt += L
+            ns = len(starts_loc)
+            summ[0] = ns
+            if ns == 0:
+                summ[1] = L  # whole shard joins the spanning block
+                summ[6 : 6 + dim] = d64.sum(axis=0)
             else:
-                s0 = starts_loc[0]
+                s0 = int(starts_loc[0])
+                summ[1] = s0
                 if s0 > 0:
-                    carry_sum += d64[:s0].sum(axis=0)
-                    carry_cnt += int(s0)
-                if carry_cnt > 0:
-                    block_sums.append(carry_sum / carry_cnt)
+                    summ[6 : 6 + dim] = d64[:s0].sum(axis=0)
                 sums = np.add.reduceat(d64, starts_loc, axis=0)
                 sizes = np.diff(np.concatenate([starts_loc, [L]]))
-                for b in range(len(starts_loc) - 1):
-                    block_sums.append(sums[b] / sizes[b])
-                carry_sum = sums[-1].copy()
-                carry_cnt = int(sizes[-1])
+                if ns > 1:
+                    m = sums[:-1] / sizes[:-1, None]  # inner complete blocks
+                    summ[3] = m.size
+                    summ[4] = m.sum()
+                    summ[5] = (m * m).sum()
+                summ[2] = sizes[-1]
+                summ[6 + dim :] = sums[-1]
             del d64
+        summaries[j] = summ
         wfull = np.full(T_local, -INF, dtype=F32)
         wfull[:L] = w
         order = np.argsort(-wfull, kind="stable")
         negw_pieces.append(
             jax.device_put((-wfull[order]).astype(np.float32), devices[j])
         )
-        rank_pieces.append(
-            jax.device_put(order.astype(np.int32), devices[j])
-        )
-        coeffs_parts[j] = None  # free
-    if carry_cnt > 0:
-        block_sums.append(carry_sum / carry_cnt)
+        rank_pieces.append(jax.device_put(order.astype(np.int32), devices[j]))
+        del coeffs_parts[j]
 
-    block_means = (
-        np.stack(block_sums).ravel() if block_sums else np.zeros(0)
-    )
+    summ_all = _gather_shard_payloads(mesh, summaries)  # (P, 6 + 2*dim)
+
+    # stitch the per-shard pieces into global block-mean moments (the block
+    # spanning a shard edge combines the left tail with following heads;
+    # identical on every process)
+    nb0 = int(summ_all[:, 0].sum())
+    carry_sum = np.zeros(dim, dtype=np.float64)
+    carry_cnt = 0.0
+    S = S2 = N = 0.0
+
+    def _close(carry_sum, carry_cnt, S, S2, N):
+        if carry_cnt > 0:
+            m = carry_sum / carry_cnt
+            S += m.sum()
+            S2 += (m * m).sum()
+            N += dim
+        return S, S2, N
+
+    for j in range(n_shards):
+        ns, head_cnt, tail_cnt, inner_n, inner_s, inner_s2 = summ_all[j, :6]
+        head_sum = summ_all[j, 6 : 6 + dim]
+        tail_sum = summ_all[j, 6 + dim :]
+        carry_sum = carry_sum + head_sum
+        carry_cnt += head_cnt
+        if ns > 0:
+            S, S2, N = _close(carry_sum, carry_cnt, S, S2, N)
+            S += inner_s
+            S2 += inner_s2
+            N += inner_n
+            carry_sum = tail_sum.copy()
+            carry_cnt = tail_cnt
+    S, S2, N = _close(carry_sum, carry_cnt, S, S2, N)
+    block_means = np.array([S, S2, N], dtype=np.float64)
 
     # ---- assemble global sharded arrays -----------------------------------
     T_pad = n_shards * T_local

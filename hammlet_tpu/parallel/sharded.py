@@ -18,8 +18,9 @@ Each sweep exchanges only O(P * K^2) scalars between shards:
 - backward pass: local random-map suffix compositions, then a cross-shard
   suffix over the P gathered shard-total maps; the final state is drawn
   identically on every shard from the shared key.
-- sweep statistics are psum-ed and the conjugate model update runs
-  replicated (same key -> identical new model on all shards).
+- sweep statistics are all_gathered and summed in shard order (transport-
+  invariant, unlike psum) and the conjugate model update runs replicated
+  (same key -> identical new model on all shards and all hosts).
 
 The marginal count buffers stay sharded with the position axis, so a 3 Gbp
 genome's counts never materialize on one chip.
@@ -63,6 +64,16 @@ from hammlet_tpu.samplers.forward_backward import (
     suffix_compose_scan_t,
 )
 from hammlet_tpu.samplers.sweep import accumulate_sweep_stats
+
+
+def _replicated_fetch(mesh: Mesh, x) -> np.ndarray:
+    """np.asarray for arrays that may span processes: multi-host shards are
+    not addressable locally, so replicate through one jitted identity (an
+    all-gather over DCN) first. Single-process arrays fetch directly."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    rep = NamedSharding(mesh, P())
+    return np.asarray(jax.jit(lambda v: v, out_shardings=rep)(x))
 
 
 def _sharded_sweep_body(
@@ -281,12 +292,20 @@ def _sharded_sweep_body(
     trans_counts = (
         stats.trans_counts.at[0, z0].add(-delta).at[carry_state, z0].add(delta)
     )
+    # cross-shard reduction as all_gather + ordered sum instead of psum: a
+    # psum's float32 reduction order varies with the transport (in-process
+    # XLA vs cross-host rings), which would make a multi-host run diverge
+    # bit-wise from the same mesh in one process; shard-index-ordered sums
+    # are transport-invariant. The payload is O(P * K^2) floats per sweep.
+    def _osum(x):
+        return jnp.sum(jax.lax.all_gather(x, POS_AXIS), axis=0)
+
     stats = SweepStats(
-        theta_sums=jax.lax.psum(stats.theta_sums, POS_AXIS),
-        theta_sumsqs=jax.lax.psum(stats.theta_sumsqs, POS_AXIS),
-        theta_counts=jax.lax.psum(stats.theta_counts, POS_AXIS),
-        trans_counts=jax.lax.psum(trans_counts, POS_AXIS),
-        state_counts=jax.lax.psum(stats.state_counts, POS_AXIS),
+        theta_sums=_osum(stats.theta_sums),
+        theta_sumsqs=_osum(stats.theta_sumsqs),
+        theta_counts=_osum(stats.theta_counts),
+        trans_counts=_osum(trans_counts),
+        state_counts=_osum(stats.state_counts),
     )
     new_model = resample_model(k_model, priors, stats)
 
@@ -496,8 +515,8 @@ def compact_sharded_marginals(engine) -> tuple[np.ndarray, np.ndarray]:
         extra = jnp.where(k == 0, 1, 0)  # global position 0 starts a segment
         return (jnp.sum(everb_l.astype(jnp.int32)) + extra)[None]
 
-    n_seg_shard = np.asarray(
-        jax.jit(_smap(count_fn, P(POS_AXIS), P(POS_AXIS)))(engine.everb)
+    n_seg_shard = _replicated_fetch(
+        mesh, jax.jit(_smap(count_fn, P(POS_AXIS), P(POS_AXIS)))(engine.everb)
     )
     cap_seg = int(n_seg_shard.max())
 
@@ -521,8 +540,8 @@ def compact_sharded_marginals(engine) -> tuple[np.ndarray, np.ndarray]:
         _smap(gather_fn, (P(POS_AXIS), P(POS_AXIS)), (P(POS_AXIS), P(POS_AXIS)))
     )
     starts_d, seg_d = fn(engine.counts, engine.everb)
-    starts_h = np.asarray(starts_d)  # (P, cap_seg)
-    seg_h = np.asarray(seg_d)  # (P, cap_seg, K)
+    starts_h = _replicated_fetch(mesh, starts_d)  # (P, cap_seg)
+    seg_h = _replicated_fetch(mesh, seg_d)  # (P, cap_seg, K)
     nP = engine.n_shards
     starts = np.concatenate(
         [starts_h[j, : n_seg_shard[j]] for j in range(nP)]
@@ -765,14 +784,16 @@ class ShardedEngine:
                     i for i in range(n) if (done + i + 1) % thinning == 0
                 ]
                 if rec_idx and (wants_comp or wants_params or want_blocks):
-                    nbs_h = np.asarray(nbs)  # (n, P)
+                    nbs_h = _replicated_fetch(self.mesh, nbs)  # (n, P)
                     totals = nbs_h.sum(axis=1)
                     means_h = np.asarray(means) if wants_params else None
                     varis_h = np.asarray(varis) if wants_params else None
                     if want_blocks:
                         idx = jnp.asarray(rec_idx, dtype=jnp.int32)
-                        z_h = np.asarray(jnp.take(blk[0], idx, axis=0))
-                        s_h = np.asarray(jnp.take(blk[1], idx, axis=0))
+                        z_h = _replicated_fetch(
+                            self.mesh, jnp.take(blk[0], idx, axis=0))
+                        s_h = _replicated_fetch(
+                            self.mesh, jnp.take(blk[1], idx, axis=0))
                         nbound_h = np.asarray(jnp.take(blk[2], idx, axis=0))
                     for j, i in enumerate(rec_idx):
                         if want_blocks:
@@ -838,7 +859,7 @@ class ShardedEngine:
                 np.float32(self._static_threshold),
             )
             self.counts, self.everb = counts, everb
-            nb = np.asarray(nb_shard)
+            nb = _replicated_fetch(self.mesh, nb_shard)
             if int(nb.max()) <= self.cap_local:
                 break
             self.cap_local = min(
@@ -850,7 +871,8 @@ class ShardedEngine:
         if self.records is not None and do_record:
             if self.records.wants_block_level():
                 self._record_sharded_sweep(
-                    np.asarray(z), np.asarray(sizes), nb, int(n_bound)
+                    _replicated_fetch(self.mesh, z),
+                    _replicated_fetch(self.mesh, sizes), nb, int(n_bound)
                 )
             self.records.record_theta(
                 np.asarray(new_model.theta_mean),
@@ -877,7 +899,7 @@ class ShardedEngine:
         (K, T_pad) order, cumsum along positions, slice to T."""
         K = self.spec.nr_states
         d = (
-            np.asarray(self.counts)
+            _replicated_fetch(self.mesh, self.counts)
             .reshape(self.n_shards, K, self.T_local)
             .transpose(1, 0, 2)
             .reshape(K, self.n_shards * self.T_local)
@@ -981,10 +1003,10 @@ def make_sharded_engine(
     # (AutoPriors.hpp:86-107; same reduction as autoprior_host)
     from hammlet_tpu.models.autopriors import nig_autoprior
 
-    means = ing.block_means
-    n = max(means.size, 1)
-    mean = means.sum() / n
-    var = (means * means).sum() / n - mean * mean
+    S, S2, n = ing.block_means
+    n = max(n, 1.0)
+    mean = S / n
+    var = S2 / n - mean * mean
     nig_row = nig_autoprior(s2, p, float(mean), float(var))
     nig = np.tile(nig_row, (nr_params, 1))
     priors = HMMPriors.create(nig, spec.nr_states, trans, self_trans, initial_alpha)

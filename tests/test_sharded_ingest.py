@@ -101,12 +101,11 @@ def test_autoprior_block_means_match_host(mesh8):
     T, dim = 3000, 1
     data = _blocky(T, dim=dim, seed=42)
     ing = sharded_ingest(mesh8, data, T_local=384, cell_bits=5)
-    means = ing.block_means
-    n = means.size
-    mean = means.sum() / n
-    var = (means * means).sum() / n - mean * mean
+    S, S2, n = ing.block_means
+    mean = S / n
+    var = S2 / n - mean * mean
     got = nig_autoprior(0.2, 0.9, float(mean), float(var))
 
     w = gold.breakpoint_weights(gold.maxlet_transform(data))
     want = autoprior_host(0.2, 0.9, data, w, ing.noise_std)
-    np.testing.assert_array_equal(got, want)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
