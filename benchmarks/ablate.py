@@ -251,7 +251,41 @@ def micro(eng, cap, key0):
             idx + jax.random.randint(k, (), 0, 2, dtype=jnp.int32), T - 1
         )
 
+    csum_base = jnp.cumsum(
+        jnp.ones((cap,), jnp.int32)
+    )  # stand-in monotone csum
+
+    def compact_scatter(k):
+        valid = jax.random.uniform(k, (cap,)) < 0.8
+        csum = jnp.cumsum(valid.astype(jnp.int32))
+        sel = jnp.full((cap,), cap, jnp.int32)
+        sel = sel.at[jnp.where(valid, csum - 1, cap)].set(
+            jnp.arange(cap, dtype=jnp.int32), mode="drop"
+        )
+        return jnp.sum(sel).astype(jnp.float32)
+
+    def compact_searchsorted(k):
+        valid = jax.random.uniform(k, (cap,)) < 0.8
+        csum = jnp.cumsum(valid.astype(jnp.int32))
+        sel = jnp.searchsorted(
+            csum, jnp.arange(1, cap + 1, dtype=jnp.int32), side="left"
+        )
+        return jnp.sum(sel).astype(jnp.float32)
+
+    def scatter_unique(k):
+        i = jidx(k)
+        # force-unique indices + hint
+        u = i * 0 + jnp.arange(cap, dtype=jnp.int32) * 7
+        return jnp.sum(
+            jnp.zeros(3 * T, jnp.int32).at[u].add(
+                1, mode="drop", unique_indices=True
+            )
+        ).astype(jnp.float32)
+
     ops = [
+        ("compact: scatter (current)", compact_scatter),
+        ("compact: searchsorted", compact_searchsorted),
+        ("scatter add flat unique hint", scatter_unique),
         ("gather r[s] (T,1,2)", lambda k: jnp.sum(prefix.r[jidx(k)])),
         ("gather r_t[:,:,s] (1,2,T)", lambda k: jnp.sum(r_t[:, :, jidx(k)])),
         ("gather 1d r_t[0,0][s]", lambda k: jnp.sum(r_t[0, 0][jidx(k)])),

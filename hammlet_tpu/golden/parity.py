@@ -1,0 +1,104 @@
+"""Statistical parity harness: per-position marginal TV distance vs the
+compiled reference, judged against the reference's own Monte-Carlo error.
+
+The reference's posterior is only defined up to MC error, so "matches the
+reference" means: the TV distance between OUR marginals and a reference run
+is within the envelope spanned by reference-vs-reference runs under
+different seeds (SURVEY.md §7 — build the statistical comparison harness
+early). State labels are exchangeable across runs; every comparison aligns
+by the best label permutation first.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from itertools import permutations
+
+import numpy as np
+
+REF_BIN = "/tmp/hammlet_ref/hammlet"
+
+
+def ensure_reference_binary() -> str | None:
+    """Compile the reference binary once (None if no toolchain)."""
+    if os.path.exists(REF_BIN):
+        return REF_BIN
+    os.makedirs(os.path.dirname(REF_BIN), exist_ok=True)
+    r = subprocess.run(
+        ["g++", "-O2", "--std=c++11", "-include", "limits",
+         "-o", REF_BIN, "/root/reference/src/main.cpp"],
+        capture_output=True, text=True,
+    )
+    return REF_BIN if r.returncode == 0 else None
+
+
+def read_marginals(path) -> np.ndarray:
+    """Marginals CSV (segsize\\tc0..cK rows) -> (T, K) probabilities."""
+    rows = [
+        list(map(int, line.split("\t")))
+        for line in open(path).read().splitlines()
+    ]
+    T = sum(r[0] for r in rows)
+    K = max(len(r) - 1 for r in rows)
+    pos = np.zeros((T, K), dtype=float)
+    t = 0
+    for r in rows:
+        pos[t : t + r[0], : len(r) - 1] = r[1:]
+        t += r[0]
+    return pos / pos.sum(axis=1, keepdims=True)
+
+
+def tv_aligned(p: np.ndarray, q: np.ndarray) -> float:
+    """Mean per-position total-variation distance between two (T, K)
+    marginal tables under the best state-label permutation of q."""
+    K = p.shape[1]
+    return min(
+        float(0.5 * np.abs(p - q[:, list(perm)]).sum(axis=1).mean())
+        for perm in permutations(range(K))
+    )
+
+
+def run_reference(
+    ref_bin: str, data_file: str, outdir: str, seed: int, scheme: list[str],
+    s_args: list[str],
+) -> np.ndarray:
+    prefix = os.path.join(outdir, f"ref{seed}-")
+    subprocess.run(
+        [ref_bin, "-f", data_file, "-a", "-R", str(seed),
+         "-s", *s_args, "-o", prefix, ".csv",
+         "-i", *scheme, "-O", "marginals", "-w"],
+        check=True, capture_output=True,
+    )
+    return read_marginals(prefix + "marginals.csv")
+
+
+def parity_report(
+    ref_bin: str,
+    data_file: str,
+    outdir: str,
+    scheme: list[str],
+    s_args: list[str],
+    ours: np.ndarray,
+    ref_seeds=(1, 2, 3),
+) -> dict:
+    """Run the reference under several seeds; report the reference-vs-
+    reference MC envelope and our mean distance to the reference runs."""
+    refs = [
+        run_reference(ref_bin, data_file, outdir, s, scheme, s_args)
+        for s in ref_seeds
+    ]
+    env_pairs = [
+        tv_aligned(refs[i], refs[j])
+        for i in range(len(refs))
+        for j in range(i + 1, len(refs))
+    ]
+    ours_dists = [tv_aligned(r, ours) for r in refs]
+    return {
+        "envelope_mean": float(np.mean(env_pairs)),
+        "envelope_max": float(np.max(env_pairs)),
+        "ours_mean": float(np.mean(ours_dists)),
+        "ours_max": float(np.max(ours_dists)),
+        "pairs": env_pairs,
+        "ours": ours_dists,
+    }

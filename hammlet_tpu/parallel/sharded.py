@@ -103,10 +103,12 @@ def _sharded_sweep_body(
     nr_params: int,
     use_self_transitions: bool,
     record: bool = True,
+    debug: bool = False,
 ):
     """Per-shard sweep body (runs under shard_map along the 'pos' axis).
     ``record`` is STATIC: non-recording phases compile without the
-    marginal-update scatters."""
+    marginal-update scatters; STATIC ``debug`` compiles in the invariant
+    bitmask (hammlet_tpu.debug)."""
     nP = jax.lax.axis_size(POS_AXIS)
     k = jax.lax.axis_index(POS_AXIS)
     shard_start = (k * T_local).astype(jnp.int32)
@@ -345,9 +347,17 @@ def _sharded_sweep_body(
         n_rec = n_rec + jnp.where(rec, 1, 0)
         n_bound = n_bound + jax.lax.psum(newly, POS_AXIS)
 
+    if debug:
+        from hammlet_tpu.debug import model_error_bits
+
+        # input model checked too: a poisoned parameter must fail the sweep
+        # that sampled from it (Observation.hpp:374-392 setter guards)
+        err = model_error_bits(model, bstats) | model_error_bits(new_model)
+    else:
+        err = jnp.int32(0)
     return (
         new_model, counts_l, everb_l, n_rec, n_bound, z_l, sizes,
-        nb_l[None], thr,
+        nb_l[None], thr, err,
     )
 
 
@@ -363,6 +373,7 @@ def build_sharded_sweep(
     nr_params: int,
     use_self_transitions: bool,
     record: bool = True,
+    debug: bool = False,
 ):
     """Compile-ready sharded sweep: shard_map over the position axis."""
     body = functools.partial(
@@ -376,6 +387,7 @@ def build_sharded_sweep(
         nr_params=nr_params,
         use_self_transitions=use_self_transitions,
         record=record,
+        debug=debug,
     )
     rep = P()
     sh = P(POS_AXIS)
@@ -383,7 +395,7 @@ def build_sharded_sweep(
         mesh=mesh,
         in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep,
                   rep, rep, rep),
-        out_specs=(rep, sh, sh, rep, rep, sh, sh, sh, rep),
+        out_specs=(rep, sh, sh, rep, rep, sh, sh, sh, rep, rep),
     )
     try:
         fn = shard_map(body, check_vma=False, **specs)
@@ -406,6 +418,7 @@ def build_sharded_phase(
     n_iters: int,
     record: bool = True,
     want_blocks: bool = False,
+    debug: bool = False,
 ):
     """A whole chunk of sharded sweeps as one jitted lax.scan over the
     shard_map'd sweep — no host round-trips inside a chunk (mirrors
@@ -423,6 +436,7 @@ def build_sharded_phase(
         nr_params=nr_params,
         use_self_transitions=use_self_transitions,
         record=record,
+        debug=debug,
     )
     rep = P()
     sh = P(POS_AXIS)
@@ -430,7 +444,7 @@ def build_sharded_phase(
         mesh=mesh,
         in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep,
                   rep, rep, rep),
-        out_specs=(rep, sh, sh, rep, rep, sh, sh, sh, rep),
+        out_specs=(rep, sh, sh, rep, rep, sh, sh, sh, rep, rep),
     )
     try:
         sweep = shard_map(body, check_vma=False, **specs)
@@ -455,12 +469,13 @@ def build_sharded_phase(
             do_rec = (thinning > 0) & (
                 ((offset + i + 1) % jnp.maximum(thinning, 1)) == 0
             )
-            model, counts, everb, n_rec, n_bound, z, sizes, nb, _thr = sweep(
+            (model, counts, everb, n_rec, n_bound, z, sizes, nb, _thr,
+             err) = sweep(
                 k, model, priors, negw, candpos, candrank, r, q2_hi, q2_lo,
                 counts, everb, n_rec, n_bound, do_rec, use_dynamic,
                 static_threshold,
             )
-            ys = (nb, model.theta_mean, model.theta_var)
+            ys = (nb, model.theta_mean, model.theta_var, err)
             if want_blocks:
                 ys = ys + (z, sizes, n_bound)
             return (model, counts, everb, n_rec, n_bound), ys
@@ -468,10 +483,10 @@ def build_sharded_phase(
         (model, counts, everb, n_rec, n_bound), ys = jax.lax.scan(
             step, (model, counts, everb, n_rec, n_bound), jnp.arange(n_iters)
         )
-        nbs, means, varis = ys[:3]
-        blk = ys[3:] if want_blocks else None
+        nbs, means, varis, errs = ys[:4]
+        blk = ys[4:] if want_blocks else None
         diag = jnp.stack(
-            [jnp.max(nbs), jnp.sum(nbs[-1])]
+            [jnp.max(nbs), jnp.sum(nbs[-1]), jnp.max(errs)]
         ).astype(jnp.int32)
         return (
             model, counts, everb, n_rec, n_bound, prev, diag, nbs, means,
@@ -647,7 +662,10 @@ class ShardedEngine:
         return self._cands[self.cap_local]
 
     def _sweep_fn(self, method: str, record: bool = True):
-        ck = (method, self.cap_local, record)
+        from hammlet_tpu.debug import debug_enabled
+
+        debug = debug_enabled()
+        ck = (method, self.cap_local, record, debug)
         if ck not in self._sweeps:
             self._sweeps[ck] = build_sharded_sweep(
                 self.mesh,
@@ -660,6 +678,7 @@ class ShardedEngine:
                 nr_params=self.spec.nr_params,
                 use_self_transitions=self.spec.use_self_transitions,
                 record=record,
+                debug=debug,
             )
         return self._sweeps[ck]
 
@@ -679,7 +698,11 @@ class ShardedEngine:
         self, method: str, n_iters: int, record: bool = True,
         want_blocks: bool = False,
     ):
-        ck = ("phase", method, self.cap_local, n_iters, record, want_blocks)
+        from hammlet_tpu.debug import debug_enabled
+
+        debug = debug_enabled()
+        ck = ("phase", method, self.cap_local, n_iters, record, want_blocks,
+              debug)
         if ck not in self._sweeps:
             self._sweeps[ck] = build_sharded_phase(
                 self.mesh,
@@ -694,6 +717,7 @@ class ShardedEngine:
                 n_iters=n_iters,
                 record=record,
                 want_blocks=want_blocks,
+                debug=debug,
             )
         return self._sweeps[ck]
 
@@ -761,8 +785,11 @@ class ShardedEngine:
                     np.float32(self._static_threshold),
                     np.int32(done),
                 )
-                # the chunk's single host sync: packed [max_nb, last total]
+                # the chunk's single host sync: [max_nb, last total, err]
                 diag_h = np.asarray(diag)
+                from hammlet_tpu.debug import raise_on_error
+
+                raise_on_error(int(diag_h[2]))
                 max_nb = int(diag_h[0])
                 if max_nb <= self.cap_local:
                     self.counts, self.everb = counts, everb
@@ -840,7 +867,7 @@ class ShardedEngine:
             fn = self._sweep_fn(method, do_record)
             candpos, candrank = self._shard_candidates()
             (new_model, counts, everb, n_rec, n_bound, z, sizes, nb_shard,
-             thr) = fn(
+             thr, err) = fn(
                 key,
                 self.model,
                 self.priors,
@@ -859,6 +886,9 @@ class ShardedEngine:
                 np.float32(self._static_threshold),
             )
             self.counts, self.everb = counts, everb
+            from hammlet_tpu.debug import raise_on_error
+
+            raise_on_error(int(np.asarray(err)))
             nb = _replicated_fetch(self.mesh, nb_shard)
             if int(nb.max()) <= self.cap_local:
                 break
@@ -889,6 +919,10 @@ class ShardedEngine:
             if "marginals" in self.records.enabled:
                 # device-side RLE: only per-segment rows leave the devices
                 starts, seg_counts = compact_sharded_marginals(self)
+                from hammlet_tpu.debug import check_marginal_sums
+
+                # save-time invariant (StateMarginals.hpp:306-308)
+                check_marginal_sums(seg_counts, int(np.asarray(self.n_rec)))
                 self.records.save_marginals_from_segments(starts, seg_counts)
             self.records.close()
 

@@ -403,6 +403,8 @@ class Engine:
     def _run_phase_scanned(
         self, method: str, iterations: int, thinning: int, start: int = 0
     ) -> None:
+        from hammlet_tpu.debug import debug_enabled, raise_on_error
+
         recording = thinning > 0
         want_blocks = (
             recording
@@ -442,9 +444,11 @@ class Engine:
                     cell_bits=self.ing.cell_bits,
                     record=recording,
                     want_blocks=want_blocks,
+                    debug=debug_enabled(),
                 )
-                # the chunk's single host sync: packed [max_nb, last_nb]
+                # the chunk's single host sync: [max_nb, last_nb, err]
                 diag_h = np.asarray(diag)
+                raise_on_error(int(diag_h[2]))
                 max_nb = int(diag_h[0])
                 if max_nb <= self.capacity:
                     self.model, self.buffers = model, buffers
@@ -511,6 +515,12 @@ class Engine:
         if self.records is not None:
             if "marginals" in self.records.enabled:
                 starts, seg_counts = compact_marginals(self.buffers)
+                from hammlet_tpu.debug import check_marginal_sums
+
+                # save-time invariant (StateMarginals.hpp:306-308)
+                check_marginal_sums(
+                    seg_counts, int(np.asarray(self.buffers.n_records))
+                )
                 self.records.save_marginals_from_segments(
                     starts, seg_counts
                 )

@@ -242,10 +242,12 @@ def _sweep_core(
     use_self_transitions: bool,
     cell_bits: int = 16,
     record: bool = True,
+    debug: bool = False,
 ):
     """Shared sweep body used by both the per-sweep and the scanned phase
     entry points. ``record`` is STATIC: non-recording phases compile
-    without the marginal-update scatters."""
+    without the marginal-update scatters; STATIC ``debug`` compiles in the
+    invariant bitmask (hammlet_tpu.debug) at zero cost when off."""
     T = ranked.pos_by_rank.shape[0]
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
     blocks = make_blocks_bucketed(cand_pos, cand_rank, ranked, thr)
@@ -280,14 +282,24 @@ def _sweep_core(
     else:
         new_buffers = buffers
     outputs = SweepOutputs(states, blocks.sizes, blocks.n_blocks, thr)
-    return new_model, new_buffers, outputs
+    if debug:
+        from hammlet_tpu.debug import model_error_bits
+
+        # the INPUT model is what the sweep sampled from — a poisoned
+        # parameter must fail this sweep even though the conjugate resample
+        # would produce a finite model again (the reference guards every
+        # parameter setter, Observation.hpp:374-392)
+        err = model_error_bits(model, bstats) | model_error_bits(new_model)
+    else:
+        err = jnp.int32(0)
+    return new_model, new_buffers, outputs, err
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple",
                      "use_self_transitions", "n_iters", "cell_bits", "record",
-                     "want_blocks"),
+                     "want_blocks", "debug"),
     donate_argnames=("buffers",),
 )
 def gibbs_phase(
@@ -314,6 +326,7 @@ def gibbs_phase(
     cell_bits: int = 16,
     record: bool = True,
     want_blocks: bool = False,
+    debug: bool = False,
 ):
     """n_iters Gibbs sweeps as one on-device lax.scan.
 
@@ -349,15 +362,15 @@ def gibbs_phase(
         do_record = (thinning > 0) & (
             ((offset + i + 1) % jnp.maximum(thinning, 1)) == 0
         )
-        new_model, new_buffers, outputs = _sweep_core(
+        new_model, new_buffers, outputs, err = _sweep_core(
             k, model, priors, ranked, cand_pos, cand_rank, prefix, buffers, do_record,
             use_dynamic, static_threshold,
             method=method, capacity=capacity,
             spec_nr_params=spec_nr_params, mapping=mapping,
             use_self_transitions=use_self_transitions, cell_bits=cell_bits,
-            record=record,
+            record=record, debug=debug,
         )
-        ys = (outputs.n_blocks, new_model.theta_mean, new_model.theta_var)
+        ys = (outputs.n_blocks, new_model.theta_mean, new_model.theta_var, err)
         if want_blocks:
             ys = ys + (outputs.states, outputs.sizes, new_buffers.n_boundaries)
         return (new_model, new_buffers), ys
@@ -365,16 +378,19 @@ def gibbs_phase(
     (model, buffers), ys = jax.lax.scan(
         body, (model, buffers), jnp.arange(n_iters)
     )
-    nbs, means, varis = ys[:3]
-    diag = jnp.stack([jnp.max(nbs), nbs[-1]]).astype(jnp.int32)
-    blk = ys[3:] if want_blocks else None
+    nbs, means, varis, errs = ys[:4]
+    # diag = [max n_blocks, last n_blocks, OR of invariant bitmasks]
+    diag = jnp.stack(
+        [jnp.max(nbs), nbs[-1], jnp.max(errs)]
+    ).astype(jnp.int32)
+    blk = ys[4:] if want_blocks else None
     return model, buffers, prev, diag, nbs, means, varis, blk
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple",
-                     "use_self_transitions", "cell_bits", "record"),
+                     "use_self_transitions", "cell_bits", "record", "debug"),
     donate_argnames=("buffers",),
 )
 def gibbs_sweep(
@@ -397,6 +413,7 @@ def gibbs_sweep(
     use_self_transitions: bool,
     cell_bits: int = 16,
     record: bool = True,
+    debug: bool = False,
 ) -> tuple[HMMState, RecordBuffers, SweepOutputs]:
     """One full Gibbs iteration (HMM.hpp:99-121)."""
     mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
@@ -405,5 +422,5 @@ def gibbs_sweep(
         use_dynamic, static_threshold,
         method=method, capacity=capacity, spec_nr_params=spec_nr_params,
         mapping=mapping, use_self_transitions=use_self_transitions,
-        cell_bits=cell_bits, record=record,
-    )
+        cell_bits=cell_bits, record=record, debug=debug,
+    )[:3]

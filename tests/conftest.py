@@ -9,6 +9,8 @@ override goes through jax.config before any backend is initialized.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# runtime invariant checks default ON in tests (hammlet_tpu.debug)
+os.environ.setdefault("HAMMLET_DEBUG", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -207,16 +207,10 @@ def test_format_parity_with_reference(tmp_path, ref_binary):
 
     ref = read_marginals(tmp_path / "ref-marginals.csv")
     tpu = read_marginals(tmp_path / "tpu-marginals.csv")
+    # format invariants only — the statistical claim (TV distance within the
+    # reference's own MC-error envelope) lives in tests/test_parity_stat.py
     assert ref.shape[0] == tpu.shape[0]
-    # state labels may be permuted between runs; align by best permutation
-    from itertools import permutations
-
-    best = min(
-        np.abs(ref - tpu[:, list(p)]).mean()
-        for p in permutations(range(tpu.shape[1]))
-    )
-    # posterior marginals agree within Monte-Carlo error on average
-    assert best < 0.08, best
+    assert ref.shape[1] == tpu.shape[1]
 
 
 def test_multivariate_engine(tmp_path):
