@@ -23,6 +23,9 @@ Flag grammar per src/main.cpp:33-65 and doc/hammlet-manpage.md:33-176:
                                PATH automatically when it exists)
   -D/-devices N        shard the position axis over N devices (new; default
                        1 = single-device engine)
+  -M/-multi            treat every -f file as an INDEPENDENT chain with its
+                       own priors/RNG/outputs (new; the reference's per-
+                       chromosome WGS workflow, bin/samToCounts:5-7)
 """
 
 from __future__ import annotations
@@ -54,6 +57,7 @@ _FLAG_ALIASES = {
     "-weight-multiplier": "-m",
     "-checkpoint": "-C",
     "-devices": "-D",
+    "-multi": "-M",
 }
 
 _DEFAULTS = {
@@ -79,7 +83,7 @@ _OUTPUT_ALIASES = {
 
 
 _REGISTERED = set(_DEFAULTS) | {
-    "-v", "-g", "-h", "-w", "-a", "-S", "-f", "-R", "-C", "-D",
+    "-v", "-g", "-h", "-w", "-a", "-S", "-f", "-R", "-C", "-D", "-M",
 }
 
 
@@ -253,6 +257,30 @@ def _run(args: dict[str, list[str]]) -> int:
     from hammlet_tpu.runner import parse_scheme
 
     parse_scheme(get("-i"))
+
+    # -M: every -f file is an INDEPENDENT chain (the reference's WGS
+    # workflow runs one process per chromosome, bin/samToCounts:5-7); here
+    # the chains run sequentially in one process with a shared compile
+    # cache, each with its own auto-priors, RNG stream, and output files
+    # {prefix}{filestem}-*{suffix}
+    if "-M" in args:
+        import os as _os
+
+        files = args.get("-f") or []
+        if len(files) < 1:
+            raise ValueError("-M requires at least one -f input file")
+        rc = 0
+        for fpath in files:
+            stem = _os.path.basename(fpath)
+            if stem.endswith(".gz"):
+                stem = stem[:-3]
+            stem = stem.rsplit(".", 1)[0]
+            sub = {k: list(v) for k, v in args.items()}
+            del sub["-M"]
+            sub["-f"] = [fpath]
+            sub["-o"] = [f"{opref}{stem}-", osuff]
+            rc |= _run(sub)
+        return rc
 
     data = read_values(args.get("-f"), nr_dim)
     T = data.shape[0]

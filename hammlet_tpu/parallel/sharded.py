@@ -416,45 +416,55 @@ def build_sharded_phase(
     nr_params: int,
     use_self_transitions: bool,
     n_iters: int,
+    thinning: int = 0,  # STATIC; > 0 requires n_iters % thinning == 0
     record: bool = True,
     want_blocks: bool = False,
     debug: bool = False,
 ):
-    """A whole chunk of sharded sweeps as one jitted lax.scan over the
-    shard_map'd sweep — no host round-trips inside a chunk (mirrors
-    samplers.sweep.gibbs_phase). With STATIC ``want_blocks`` the per-sweep
-    (states, sizes, n_boundaries) trajectories are stacked for the
-    sequences/blocks/segments streams, drained once per chunk."""
-    body = functools.partial(
-        _sharded_sweep_body,
-        method=method,
-        cap_local=cap_local,
-        T=T,
-        T_local=T_local,
-        cell_bits=cell_bits,
-        mapping_np=mapping_np,
-        nr_params=nr_params,
-        use_self_transitions=use_self_transitions,
-        record=record,
-        debug=debug,
-    )
-    rep = P()
-    sh = P(POS_AXIS)
-    specs = dict(
-        mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep, rep,
-                  rep, rep, rep),
-        out_specs=(rep, sh, sh, rep, rep, sh, sh, sh, rep, rep),
-    )
-    try:
-        sweep = shard_map(body, check_vma=False, **specs)
-    except TypeError:  # pragma: no cover
-        sweep = shard_map(body, check_rep=False, **specs)
+    """A whole chunk of sharded sweeps as one jitted program — no host
+    round-trips inside a chunk (mirrors samplers.sweep.gibbs_phase).
+
+    ``thinning`` is STATIC: the chunk runs as macros of (thinning - 1)
+    QUIET sweeps compiled without the recording scatters plus one
+    RECORDING sweep (masked scatters pay full serialization cost on TPU;
+    see gibbs_phase). With STATIC ``want_blocks`` the per-RECORDED-sweep
+    (states, sizes, n_boundaries) stacks feed the sequences/blocks/
+    segments streams, drained once per chunk."""
+
+    def make(rec: bool):
+        body = functools.partial(
+            _sharded_sweep_body,
+            method=method,
+            cap_local=cap_local,
+            T=T,
+            T_local=T_local,
+            cell_bits=cell_bits,
+            mapping_np=mapping_np,
+            nr_params=nr_params,
+            use_self_transitions=use_self_transitions,
+            record=rec,
+            debug=debug,
+        )
+        rep = P()
+        sh = P(POS_AXIS)
+        specs = dict(
+            mesh=mesh,
+            in_specs=(rep, rep, rep, sh, sh, sh, sh, rep, rep, sh, sh, rep,
+                      rep, rep, rep, rep),
+            out_specs=(rep, sh, sh, rep, rep, sh, sh, sh, rep, rep),
+        )
+        try:
+            return shard_map(body, check_vma=False, **specs)
+        except TypeError:  # pragma: no cover
+            return shard_map(body, check_rep=False, **specs)
+
+    sweep_q = make(False)
+    sweep_r = make(True) if (record and thinning >= 1) else None
 
     def phase(
         master_key, model, priors, negw, candpos, candrank, r, q2_hi, q2_lo,
-        counts, everb, n_rec, n_bound, counter, thinning, use_dynamic,
-        static_threshold, offset,
+        counts, everb, n_rec, n_bound, counter, use_dynamic,
+        static_threshold,
     ):
         # one program per chunk: the chunk key, the pre-chunk snapshot (for
         # overflow replay) and the packed diagnostics all live in-graph —
@@ -463,31 +473,59 @@ def build_sharded_phase(
         key = jax.random.fold_in(master_key, counter)
         prev = (counts, everb, n_rec, n_bound) if record else None
 
-        def step(carry, i):
-            model, counts, everb, n_rec, n_bound = carry
-            k = jax.random.fold_in(key, i)
-            do_rec = (thinning > 0) & (
-                ((offset + i + 1) % jnp.maximum(thinning, 1)) == 0
-            )
-            (model, counts, everb, n_rec, n_bound, z, sizes, nb, _thr,
-             err) = sweep(
-                k, model, priors, negw, candpos, candrank, r, q2_hi, q2_lo,
-                counts, everb, n_rec, n_bound, do_rec, use_dynamic,
-                static_threshold,
-            )
-            ys = (nb, model.theta_mean, model.theta_var, err)
-            if want_blocks:
-                ys = ys + (z, sizes, n_bound)
-            return (model, counts, everb, n_rec, n_bound), ys
+        def step(rec: bool):
+            sweep = sweep_r if rec else sweep_q
 
-        (model, counts, everb, n_rec, n_bound), ys = jax.lax.scan(
-            step, (model, counts, everb, n_rec, n_bound), jnp.arange(n_iters)
-        )
-        nbs, means, varis, errs = ys[:4]
-        blk = ys[4:] if want_blocks else None
-        diag = jnp.stack(
-            [jnp.max(nbs), jnp.sum(nbs[-1]), jnp.max(errs)]
-        ).astype(jnp.int32)
+            def s(carry, i):
+                model, counts, everb, n_rec, n_bound = carry
+                k = jax.random.fold_in(key, i)
+                (model, counts, everb, n_rec, n_bound, z, sizes, nb, _thr,
+                 err) = sweep(
+                    k, model, priors, negw, candpos, candrank, r, q2_hi,
+                    q2_lo, counts, everb, n_rec, n_bound, jnp.bool_(rec),
+                    use_dynamic, static_threshold,
+                )
+                ys = (nb, model.theta_mean, model.theta_var, err)
+                if rec and want_blocks:
+                    ys = ys + (z, sizes, n_bound)
+                return (model, counts, everb, n_rec, n_bound), ys
+
+            return s
+
+        carry = (model, counts, everb, n_rec, n_bound)
+        if not record or thinning <= 1:
+            rec = record and thinning == 1
+            carry, ys = jax.lax.scan(step(rec), carry, jnp.arange(n_iters))
+            nbs, means, varis, errs = ys[:4]
+            blk = ys[4:] if (rec and want_blocks) else None
+            max_nb = jnp.max(nbs)
+            last_total = jnp.sum(nbs[-1])
+            max_err = jnp.max(errs)
+        else:
+            if n_iters % thinning:
+                raise ValueError(
+                    "n_iters must be a multiple of static thinning"
+                )
+            n_macro = n_iters // thinning
+
+            def macro(carry, m):
+                i0 = m * thinning
+                carry, qys = jax.lax.scan(
+                    step(False), carry, i0 + jnp.arange(thinning - 1)
+                )
+                carry, rys = step(True)(carry, i0 + thinning - 1)
+                return carry, (qys, rys)
+
+            carry, (qys, rys) = jax.lax.scan(
+                macro, carry, jnp.arange(n_macro)
+            )
+            nbs, means, varis = rys[:3]
+            blk = rys[4:] if want_blocks else None
+            max_nb = jnp.maximum(jnp.max(qys[0]), jnp.max(nbs))
+            last_total = jnp.sum(nbs[-1])
+            max_err = jnp.maximum(jnp.max(qys[3]), jnp.max(rys[3]))
+        model, counts, everb, n_rec, n_bound = carry
+        diag = jnp.stack([max_nb, last_total, max_err]).astype(jnp.int32)
         return (
             model, counts, everb, n_rec, n_bound, prev, diag, nbs, means,
             varis, blk,
@@ -695,14 +733,14 @@ class ShardedEngine:
         self._dynamic = True
 
     def _phase_fn(
-        self, method: str, n_iters: int, record: bool = True,
-        want_blocks: bool = False,
+        self, method: str, n_iters: int, thinning: int = 0,
+        record: bool = True, want_blocks: bool = False,
     ):
         from hammlet_tpu.debug import debug_enabled
 
         debug = debug_enabled()
-        ck = ("phase", method, self.cap_local, n_iters, record, want_blocks,
-              debug)
+        ck = ("phase", method, self.cap_local, n_iters, thinning, record,
+              want_blocks, debug)
         if ck not in self._sweeps:
             self._sweeps[ck] = build_sharded_phase(
                 self.mesh,
@@ -715,6 +753,7 @@ class ShardedEngine:
                 nr_params=self.spec.nr_params,
                 use_self_transitions=self.spec.use_self_transitions,
                 n_iters=n_iters,
+                thinning=thinning,
                 record=record,
                 want_blocks=want_blocks,
                 debug=debug,
@@ -745,7 +784,7 @@ class ShardedEngine:
     def _run_phase_scanned(
         self, method: str, iterations: int, thinning: int, start: int = 0
     ):
-        from hammlet_tpu.runner import PHASE_CHUNK, _round_capacity
+        from hammlet_tpu.runner import PHASE_CHUNK, _next_chunk, _round_capacity
 
         recording = thinning > 0
         want_blocks = (
@@ -758,11 +797,15 @@ class ShardedEngine:
         done = start
         end = start + iterations
         while done < end:
-            n = min(PHASE_CHUNK, end - done)
+            n, thin_s, rec_s = _next_chunk(
+                done, end, thinning if recording else 0, PHASE_CHUNK
+            )
             self.sweep_counter += 1
             counter = self.sweep_counter  # fixed across overflow replays
             while True:
-                fn = self._phase_fn(method, n, recording, want_blocks)
+                fn = self._phase_fn(
+                    method, n, thin_s, rec_s, want_blocks and rec_s
+                )
                 candpos, candrank = self._shard_candidates()
                 (model, counts, everb, n_rec, n_bound, prev, diag, nbs,
                  means, varis, blk) = fn(
@@ -780,10 +823,8 @@ class ShardedEngine:
                     self.n_rec,
                     self.n_bound,
                     np.int32(counter),
-                    np.int32(thinning),
                     np.bool_(self._dynamic),
                     np.float32(self._static_threshold),
-                    np.int32(done),
                 )
                 # the chunk's single host sync: [max_nb, last total, err]
                 diag_h = np.asarray(diag)
@@ -804,33 +845,28 @@ class ShardedEngine:
                      self.n_bound) = prev
                 else:
                     self.counts, self.everb = counts, everb
-            if self.records is not None and recording:
+            if self.records is not None and rec_s:
                 wants_comp = "compression" in self.records.enabled
                 wants_params = "parameters" in self.records.enabled
-                rec_idx = [
-                    i for i in range(n) if (done + i + 1) % thinning == 0
-                ]
-                if rec_idx and (wants_comp or wants_params or want_blocks):
-                    nbs_h = _replicated_fetch(self.mesh, nbs)  # (n, P)
+                n_hits = n // max(thin_s, 1)
+                if wants_comp or wants_params or want_blocks:
+                    nbs_h = _replicated_fetch(self.mesh, nbs)  # (hits, P)
                     totals = nbs_h.sum(axis=1)
                     means_h = np.asarray(means) if wants_params else None
                     varis_h = np.asarray(varis) if wants_params else None
                     if want_blocks:
-                        idx = jnp.asarray(rec_idx, dtype=jnp.int32)
-                        z_h = _replicated_fetch(
-                            self.mesh, jnp.take(blk[0], idx, axis=0))
-                        s_h = _replicated_fetch(
-                            self.mesh, jnp.take(blk[1], idx, axis=0))
-                        nbound_h = np.asarray(jnp.take(blk[2], idx, axis=0))
-                    for j, i in enumerate(rec_idx):
+                        z_h = _replicated_fetch(self.mesh, blk[0])
+                        s_h = _replicated_fetch(self.mesh, blk[1])
+                        nbound_h = np.asarray(blk[2])
+                    for j in range(n_hits):
                         if want_blocks:
                             self._record_sharded_sweep(
-                                z_h[j], s_h[j], nbs_h[i], int(nbound_h[j])
+                                z_h[j], s_h[j], nbs_h[j], int(nbound_h[j])
                             )
                         elif wants_comp:
-                            self.records.record_compression(int(totals[i]))
+                            self.records.record_compression(int(totals[j]))
                         if wants_params:
-                            self.records.record_theta(means_h[i], varis_h[i])
+                            self.records.record_theta(means_h[j], varis_h[j])
             done += n
             self.sweeps_completed += n
             self.scheme_op_done = done

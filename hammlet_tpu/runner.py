@@ -169,6 +169,33 @@ def run_scheme_resumable(engine, tokens: list[str]) -> None:
     engine.scheme_op_done = 0
 
 
+def _next_chunk(done: int, end: int, thinning: int, max_chunk: int):
+    """(n, static_thinning, records) for the next compiled chunk.
+
+    Recording phases are split into chunks whose length is a multiple of
+    the thinning so the phase program can structure itself as
+    quiet-sweeps + one-recording-sweep macros (the record-thinning hits
+    land exactly at macro ends). Non-multiples arise only at phase edges:
+    a resume mid-thinning-window runs one alignment macro of length
+    (thinning - done % thinning), and a phase tail shorter than the
+    thinning contains no hits and runs as a quiet chunk."""
+    remaining = end - done
+    if thinning <= 0:
+        return min(max_chunk, remaining), 0, False
+    mis = done % thinning
+    if mis:
+        n_align = thinning - mis
+        if n_align <= remaining:
+            return n_align, n_align, True
+        return remaining, 0, False  # tail: no hits left in this phase
+    n_hit = (min(max_chunk, remaining) // thinning) * thinning
+    if n_hit:
+        return n_hit, thinning, True
+    if thinning <= remaining:
+        return thinning, thinning, True  # thinning wider than max_chunk
+    return remaining, 0, False  # tail: no hits left
+
+
 def _round_capacity(n: int) -> int:
     """Round a block count up to the next capacity bucket: a ~1.25x
     geometric ladder on multiples of 128 (so the blocked scans engage).
@@ -416,7 +443,14 @@ class Engine:
         done = start
         end = start + iterations
         while done < end:
-            n = min(PHASE_CHUNK, end - done)
+            # chunk selection: recording chunks are aligned to thinning
+            # multiples so the compiled program can structurally separate
+            # quiet sweeps (no scatters) from recording sweeps — a runtime
+            # record mask still pays the scatters' full serialization cost
+            # every sweep (measured 2.36 vs 1.23 ms/sweep at thin=128)
+            n, thin_s, rec_s = _next_chunk(
+                done, end, thinning if recording else 0, PHASE_CHUNK
+            )
             self.sweep_counter += 1
             counter = self.sweep_counter  # fixed across overflow replays
             while True:
@@ -431,19 +465,18 @@ class Engine:
                     self.ing.prefix,
                     self.buffers,
                     np.int32(counter),
-                    np.int32(thinning),
                     np.bool_(self._dynamic),
                     np.float32(self._static_threshold),
-                    np.int32(done),
                     method=method,
                     capacity=self.capacity,
                     spec_nr_params=self.spec.nr_params,
                     mapping_tuple=self._mapping_tuple,
                     use_self_transitions=self.spec.use_self_transitions,
                     n_iters=n,
+                    thinning=thin_s,
                     cell_bits=self.ing.cell_bits,
-                    record=recording,
-                    want_blocks=want_blocks,
+                    record=rec_s,
+                    want_blocks=want_blocks and rec_s,
                     debug=debug_enabled(),
                 )
                 # the chunk's single host sync: [max_nb, last_nb, err]
@@ -458,35 +491,32 @@ class Engine:
                 # replay the chunk (same counter) from the pre-chunk snapshot
                 # so recorded sweeps cannot double-record
                 self.buffers = prev if prev is not None else buffers
-            if self.records is not None and recording:
-                # drain per-sweep trajectories once per chunk, only for
-                # enabled streams (each np.asarray is one host round-trip)
+            if self.records is not None and rec_s:
+                # drain the per-recorded-sweep stacks once per chunk, only
+                # for enabled streams (each np.asarray is one host round-trip)
                 wants_comp = "compression" in self.records.enabled
                 wants_params = "parameters" in self.records.enabled
-                rec_idx = [
-                    i for i in range(n) if (done + i + 1) % thinning == 0
-                ]
-                if rec_idx and (wants_comp or wants_params or want_blocks):
+                n_hits = n // max(thin_s, 1)
+                if wants_comp or wants_params or want_blocks:
                     nbs_h = np.asarray(nbs)
                     means_h = np.asarray(means) if wants_params else None
                     varis_h = np.asarray(varis) if wants_params else None
                     if want_blocks:
-                        idx = jnp.asarray(rec_idx, dtype=jnp.int32)
-                        states_h = np.asarray(jnp.take(blk[0], idx, axis=0))
-                        sizes_h = np.asarray(jnp.take(blk[1], idx, axis=0))
-                        nbound_h = np.asarray(jnp.take(blk[2], idx, axis=0))
-                    for j, i in enumerate(rec_idx):
+                        states_h = np.asarray(blk[0])
+                        sizes_h = np.asarray(blk[1])
+                        nbound_h = np.asarray(blk[2])
+                    for j in range(n_hits):
                         if want_blocks:
                             self.records.record_sweep(
                                 states_h[j],
                                 sizes_h[j],
-                                int(nbs_h[i]),
+                                int(nbs_h[j]),
                                 int(nbound_h[j]),
                             )
                         elif wants_comp:
-                            self.records.record_compression(int(nbs_h[i]))
+                            self.records.record_compression(int(nbs_h[j]))
                         if wants_params:
-                            self.records.record_theta(means_h[i], varis_h[i])
+                            self.records.record_theta(means_h[j], varis_h[j])
             done += n
             self.sweeps_completed += n
             self.scheme_op_done = done

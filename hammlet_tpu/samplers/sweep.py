@@ -298,8 +298,8 @@ def _sweep_core(
 @functools.partial(
     jax.jit,
     static_argnames=("method", "capacity", "spec_nr_params", "mapping_tuple",
-                     "use_self_transitions", "n_iters", "cell_bits", "record",
-                     "want_blocks", "debug"),
+                     "use_self_transitions", "n_iters", "thinning",
+                     "cell_bits", "record", "want_blocks", "debug"),
     donate_argnames=("buffers",),
 )
 def gibbs_phase(
@@ -312,10 +312,8 @@ def gibbs_phase(
     prefix: PrefixStats,
     buffers: RecordBuffers,
     counter,  # () int32 — chunk key = fold_in(master_key, counter)
-    thinning,  # () int32 (0 = never record)
     use_dynamic,
     static_threshold,
-    offset,  # () int32 phase-relative index of the first sweep
     *,
     method: str,
     capacity: int,
@@ -323,68 +321,102 @@ def gibbs_phase(
     mapping_tuple: tuple,
     use_self_transitions: bool,
     n_iters: int,
+    thinning: int = 0,  # STATIC; > 0 requires n_iters % thinning == 0
     cell_bits: int = 16,
     record: bool = True,
     want_blocks: bool = False,
     debug: bool = False,
 ):
-    """n_iters Gibbs sweeps as one on-device lax.scan.
+    """n_iters Gibbs sweeps as one on-device program.
 
     Everything the driver needs per chunk comes out of this ONE program —
     including the pre-chunk snapshot of the record buffers (``prev``, for
     overflow replay) and the packed overflow diagnostics ``diag`` =
-    [max n_blocks, last n_blocks]. On a remote-dispatch TPU link every
-    extra eager op or fetch costs a ~24 ms round trip, which at 32-sweep
-    chunks used to double the per-sweep cost; the driver now syncs exactly
-    once per chunk (on ``diag``).
+    [max n_blocks, last n_blocks, error bits]. On a remote-dispatch TPU
+    link every extra eager op or fetch costs a ~24 ms round trip; the
+    driver syncs exactly once per chunk (on ``diag``).
 
-    Phases run as chunks of a fixed n_iters so one compiled program is
-    reused; ``offset`` keeps the record-thinning pattern aligned with the
-    phase. Per-sweep RNG keys are fold_in(fold_in(master, counter), i), so
-    the driver can replay an identical chunk at a larger capacity after an
-    overflow by passing the same counter. Returns
-    (model, buffers, prev, diag, nbs, theta_means, theta_vars[, blk]);
-    ``prev`` is None when ``record`` is static-False (buffers pass through
-    untouched). The stacked per-sweep trajectories feed the record streams
-    once per chunk instead of once per sweep (the reference records per
-    sweep, Records.hpp:155-235, but per-sweep host transfers would dominate
-    on a remote-dispatch link). With STATIC ``want_blocks`` the extra
-    ``blk`` output stacks (states, sizes, n_boundaries) per sweep for the
-    sequences/blocks/segments streams.
-    """
+    ``thinning`` is STATIC and the chunk is structured as
+    n_iters/thinning macro-steps of (thinning-1) QUIET sweeps compiled
+    WITHOUT the recording scatters plus one RECORDING sweep — masked-out
+    scatters still pay full serialization cost on TPU (measured: a phase
+    with one record hit per 128 sweeps ran exactly as slow as recording
+    every sweep, 2.36 vs 1.23 ms/sweep), so the split is structural, not a
+    runtime mask. The driver aligns chunk boundaries to thinning multiples.
+
+    Per-sweep RNG keys are fold_in(fold_in(master, counter), i) with i the
+    within-chunk sweep index, so the driver can replay an identical chunk
+    at a larger capacity after an overflow by passing the same counter.
+
+    Returns (model, buffers, prev, diag, rec_nbs, rec_means, rec_vars,
+    blk): the rec_* stacks hold one row PER RECORDED SWEEP (n_iters rows
+    when thinning == 0/1 or record is off — then they are the per-sweep
+    stacks); ``blk`` stacks (states, sizes, n_boundaries) per recorded
+    sweep when STATIC ``want_blocks``. ``prev`` is None when ``record`` is
+    static-False. Streams drain once per chunk instead of once per sweep
+    (the reference records per sweep, Records.hpp:155-235, but per-sweep
+    host transfers would dominate on a remote-dispatch link)."""
     mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
     key = jax.random.fold_in(master_key, counter)
     prev = buffers if record else None
 
-    def body(carry, i):
-        model, buffers = carry
-        k = jax.random.fold_in(key, i)
-        do_record = (thinning > 0) & (
-            ((offset + i + 1) % jnp.maximum(thinning, 1)) == 0
-        )
-        new_model, new_buffers, outputs, err = _sweep_core(
-            k, model, priors, ranked, cand_pos, cand_rank, prefix, buffers, do_record,
-            use_dynamic, static_threshold,
-            method=method, capacity=capacity,
-            spec_nr_params=spec_nr_params, mapping=mapping,
-            use_self_transitions=use_self_transitions, cell_bits=cell_bits,
-            record=record, debug=debug,
-        )
-        ys = (outputs.n_blocks, new_model.theta_mean, new_model.theta_var, err)
-        if want_blocks:
-            ys = ys + (outputs.states, outputs.sizes, new_buffers.n_boundaries)
-        return (new_model, new_buffers), ys
+    def body(rec: bool):
+        def b(carry, i):
+            model, buffers = carry
+            k = jax.random.fold_in(key, i)
+            new_model, new_buffers, outputs, err = _sweep_core(
+                k, model, priors, ranked, cand_pos, cand_rank, prefix,
+                buffers, jnp.bool_(rec), use_dynamic, static_threshold,
+                method=method, capacity=capacity,
+                spec_nr_params=spec_nr_params, mapping=mapping,
+                use_self_transitions=use_self_transitions,
+                cell_bits=cell_bits, record=record and rec, debug=debug,
+            )
+            ys = (
+                outputs.n_blocks, new_model.theta_mean,
+                new_model.theta_var, err,
+            )
+            if rec and want_blocks:
+                ys = ys + (
+                    outputs.states, outputs.sizes, new_buffers.n_boundaries
+                )
+            return (new_model, new_buffers), ys
 
-    (model, buffers), ys = jax.lax.scan(
-        body, (model, buffers), jnp.arange(n_iters)
-    )
-    nbs, means, varis, errs = ys[:4]
-    # diag = [max n_blocks, last n_blocks, OR of invariant bitmasks]
-    diag = jnp.stack(
-        [jnp.max(nbs), nbs[-1], jnp.max(errs)]
-    ).astype(jnp.int32)
-    blk = ys[4:] if want_blocks else None
-    return model, buffers, prev, diag, nbs, means, varis, blk
+        return b
+
+    if not record or thinning <= 1:
+        # uniform chunk: every sweep records (thinning == 1) or none does
+        rec = record and thinning == 1
+        (model, buffers), ys = jax.lax.scan(
+            body(rec), (model, buffers), jnp.arange(n_iters)
+        )
+        nbs, means, varis, errs = ys[:4]
+        rec_nbs, rec_means, rec_varis = nbs, means, varis
+        blk = ys[4:] if (rec and want_blocks) else None
+        max_nb, last_nb, max_err = jnp.max(nbs), nbs[-1], jnp.max(errs)
+    else:
+        if n_iters % thinning:
+            raise ValueError("n_iters must be a multiple of static thinning")
+        n_macro = n_iters // thinning
+
+        def macro(carry, m):
+            i0 = m * thinning
+            carry, qys = jax.lax.scan(
+                body(False), carry, i0 + jnp.arange(thinning - 1)
+            )
+            carry, rys = body(True)(carry, i0 + thinning - 1)
+            return carry, (qys, rys)
+
+        (model, buffers), (qys, rys) = jax.lax.scan(
+            macro, (model, buffers), jnp.arange(n_macro)
+        )
+        rec_nbs, rec_means, rec_varis = rys[:3]
+        blk = rys[4:] if want_blocks else None
+        max_nb = jnp.maximum(jnp.max(qys[0]), jnp.max(rec_nbs))
+        last_nb = rec_nbs[-1]
+        max_err = jnp.maximum(jnp.max(qys[3]), jnp.max(rys[3]))
+    diag = jnp.stack([max_nb, last_nb, max_err]).astype(jnp.int32)
+    return model, buffers, prev, diag, rec_nbs, rec_means, rec_varis, blk
 
 
 @functools.partial(

@@ -59,12 +59,24 @@ class GenomeGetter:
 
 
 def sort_add_and_compress(pos: np.ndarray, cnt: np.ndarray):
-    """Sort by position and sum counts of duplicate positions."""
+    """Sort by position and sum counts of duplicate positions
+    (MappedValues::sortAddAndCompress, src/tools/MappedValues.hpp:66-83)."""
     order = np.argsort(pos, kind="stable")
     pos, cnt = pos[order], cnt[order]
     upos, inv = np.unique(pos, return_inverse=True)
     ucnt = np.bincount(inv, weights=cnt).astype(np.int64)
     return upos, ucnt
+
+
+def sort_multiply_and_compress(pos: np.ndarray, val: np.ndarray):
+    """Sort by position and MULTIPLY values of duplicate positions
+    (MappedValues::sortMultiplyAndCompress, src/tools/MappedValues.hpp:85-102
+    — e.g. combining per-position probabilities/weights)."""
+    order = np.argsort(pos, kind="stable")
+    pos, val = pos[order], np.asarray(val)[order]
+    upos, starts = np.unique(pos, return_index=True)
+    uval = np.multiply.reduceat(val, starts)
+    return upos, uval
 
 
 def read_count_set(prefix, pos_suffix="-pos.csv.gz", count_suffix="-count.csv.gz",

@@ -154,3 +154,38 @@ def test_seed_changes_run(tmp_path):
         .read_text().strip().splitlines()[-1].split("\t")
     ])
     assert not np.array_equal(a, b)
+
+
+def test_multi_sequence_independent_chains(tmp_path):
+    """-M: each -f file is an independent chain with its own outputs
+    (the reference's per-chromosome workflow, bin/samToCounts:5-7)."""
+    rng = np.random.default_rng(0)
+    fa = tmp_path / "chr1.csv"
+    fb = tmp_path / "chr2.csv"
+    np.savetxt(fa, np.concatenate([rng.normal(0, 1, 400), rng.normal(5, 1, 400)]))
+    np.savetxt(fb, np.concatenate([rng.normal(5, 1, 300), rng.normal(0, 1, 500)]))
+    rc = cli_main(
+        ["-f", str(fa), str(fb), "-M", "-s", "2", "-a", "-R", "3",
+         "-o", str(tmp_path / "wgs-"), ".csv",
+         "-i", "M", "5", "0", "F", "5", "1", "-O", "marginals", "-w"]
+    )
+    assert rc == 0
+    for stem, T in (("chr1", 800), ("chr2", 800)):
+        rows = [
+            list(map(int, l.split("\t")))
+            for l in (tmp_path / f"wgs-{stem}-marginals.csv").read_text().splitlines()
+        ]
+        assert sum(r[0] for r in rows) == T
+        assert all(sum(r[1:]) == 5 for r in rows)
+    # the two chains are genuinely independent: chr1's marginals match a
+    # solo run on the same file with the same seed
+    rc = cli_main(
+        ["-f", str(fa), "-s", "2", "-a", "-R", "3",
+         "-o", str(tmp_path / "solo-"), ".csv",
+         "-i", "M", "5", "0", "F", "5", "1", "-O", "marginals", "-w"]
+    )
+    assert rc == 0
+    assert (
+        (tmp_path / "wgs-chr1-marginals.csv").read_text()
+        == (tmp_path / "solo-marginals.csv").read_text()
+    )
