@@ -30,10 +30,13 @@ def test_genome_scale_bounded_memory():
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     m = json.loads(out.stdout.strip().splitlines()[-1])
     # inherent device-buffer budget is ~29 B/position on a CPU mesh (counts
-    # 12, prefix 8, rank structure 8, boundary byte); 70 B/position + 1 GB
-    # baseline leaves room for transients but not for any O(T) float64
-    # monolith (16 B/position each) plus their copies
-    budget = 1.0e9 + 70 * T
+    # 12, prefix 8, rank structure 8, boundary byte); 70 B/position + a
+    # fixed baseline leaves room for transients but not for any O(T)
+    # float64 monolith (16 B/position each) plus their copies. The baseline
+    # covers the interpreter + XLA compile arenas on a COLD compilation
+    # cache (~1.5 GB observed when every program compiles in-process); the
+    # per-position term is what detects monoliths at HAMMLET_BIG_T scale
+    budget = 1.75e9 + 70 * T
     assert m["peak_rss_bytes"] < budget, (m["peak_rss_bytes"], budget)
     # the planted segmentation (1000-position segments) was recovered and
     # compacted: the RLE store is ~T/1000 rows, not T
