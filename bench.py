@@ -30,6 +30,10 @@ T = int(os.environ.get("HAMMLET_BENCH_T", 4_000_000))
 SWEEPS = int(os.environ.get("HAMMLET_BENCH_SWEEPS", 128))
 BURNIN = int(os.environ.get("HAMMLET_BENCH_BURNIN", 64))
 THIN = 4
+#: "marginals" (default) or "all" — "all" enables every reference record
+#: stream (marginals, sequences, blocks, parameters, compression, segments),
+#: the configuration a reference user runs for full diagnostics
+STREAMS = os.environ.get("HAMMLET_BENCH_STREAMS", "marginals")
 SEGLEN = int(os.environ.get("HAMMLET_BENCH_SEGLEN", 500))
 REF_BIN = "/tmp/hammlet_ref/hammlet"
 DATA_FILE = f"/tmp/hammlet_bench/data_{T}_{os.environ.get('HAMMLET_BENCH_SEGLEN', 500)}.csv"
@@ -74,7 +78,8 @@ def bench_ours(data):
     enable_compilation_cache()
 
     out = "/tmp/hammlet_bench/tpu-"
-    rec = Records(len(data), out, ".csv", 3, overwrite=True)
+    outputs = set(Records.STREAMS) if STREAMS == "all" else {"marginals"}
+    rec = Records(len(data), out, ".csv", 3, outputs=outputs, overwrite=True)
     log("building engine (ingest + autopriors)")
     eng = make_engine(data, nr_params=3, seed=0, records=rec)
     log(f"engine ready, capacity {eng.capacity}; burn-in")
@@ -101,7 +106,7 @@ def bench_reference(data):
     """Reference sweeps/s with ingest time subtracted (the binary has no
     internal timers). The measurement is cached per config — the reference
     binary is deterministic for a fixed seed."""
-    cache = f"/tmp/hammlet_bench/ref_{T}_{SWEEPS}_{BURNIN}.json"
+    cache = f"/tmp/hammlet_bench/ref_{T}_{SWEEPS}_{BURNIN}_{STREAMS}.json"
     if os.path.exists(cache):
         return json.load(open(cache))["sweeps_per_second"]
     if not os.path.exists(REF_BIN):
@@ -115,11 +120,16 @@ def bench_reference(data):
             return None
     out = "/tmp/hammlet_bench/ref-"
 
+    ref_streams = (
+        ["marginals", "sequences", "blocks", "parameters", "compression",
+         "segments"] if STREAMS == "all" else ["marginals"]
+    )
+
     def run(n_sweeps):
         t0 = time.time()
         subprocess.run(
             [REF_BIN, "-f", DATA_FILE, "-s", "3", "-a", "-R", "0",
-             "-o", out, ".csv", "-O", "marginals",
+             "-o", out, ".csv", "-O", *ref_streams,
              "-i", "M", str(BURNIN), "0", "F", str(n_sweeps), str(THIN), "-w"],
             check=True, capture_output=True,
         )
@@ -149,7 +159,9 @@ def main():
         json.dumps(
             {
                 "metric": f"FB-Gibbs sweeps/s ({T/1e6:.0f}M positions, "
-                "3 states, dynamic compression, marginals thin=4)",
+                f"3 states, dynamic compression, "
+                f"{'all streams' if STREAMS == 'all' else 'marginals'} "
+                f"thin={THIN})",
                 "value": round(ours, 3),
                 "unit": "sweeps/s",
                 "vs_baseline": round(vs, 3) if vs else None,

@@ -61,33 +61,20 @@ def _compose_maps_rev(later: jax.Array, earlier: jax.Array) -> jax.Array:
     return jnp.take_along_axis(earlier, later, axis=-1)
 
 
-#: below this length the scans fall back to Hillis-Steele — the recursion's
-#: interleave/slice overhead stops paying once the array is a few tiles.
-_SCAN_BASE = 128
-
-
-def _combine_mats_t(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Batched earlier @ later for (K, K, n) transposed stacks, rescaled by
-    the max entry (scale-invariant downstream): z[i,k,b] = sum_j x[i,j,b]
-    y[j,k,b]."""
-    z = jnp.sum(x[:, :, None, :] * y[None, :, :, :], axis=1)
-    m = jnp.max(z, axis=(0, 1), keepdims=True)
-    return z / jnp.maximum(m, jnp.float32(1e-35))
-
-
-def _comp_maps_t(f: jax.Array, g: jax.Array) -> jax.Array:
-    """Map composition (f ∘ g)[j, b] = f[g[j, b], b] for (K, n) transposed
-    index-map stacks — a K-way one-hot select (pure elementwise, no
-    cross-lane gather). ``g`` is applied first (the later map)."""
-    acc = jnp.zeros_like(f)
-    for i in range(f.shape[0]):
-        acc = acc + jnp.where(g == i, f[i][None, :], 0)
-    return acc
+#: group size for the two-level blocked scans. 128 = one TPU lane tile:
+#: the grouped (K, K, G, _GROUP) arrays keep a full tile minor, and the
+#: block capacity ladder only produces multiples of 128. (A Brent-Kung
+#: pair-recursion was tried instead and its (K, K, B/2, 2) intermediates —
+#: minor dim 2, padded 64x per tile — reliably OOM-killed the remote TPU
+#: compile helper; the grouped form compiles fine and does ~8B combines vs
+#: the flat Hillis-Steele form's B·log2(B).)
+_GROUP = 128
 
 
 def _hs_prefix_matmul_t(Mt: jax.Array) -> jax.Array:
-    """Hillis-Steele inclusive prefix products (base case): log2(B) levels
-    of shift + batched combines, identity-padded on the left."""
+    """Hillis-Steele inclusive prefix products over the minor axis of a
+    (K, K, B) stack (base case / cross-group totals): log2(B) levels of
+    shift + batched combines, identity-padded on the left."""
     K = Mt.shape[0]
     B = Mt.shape[-1]
     eye = jnp.eye(K, dtype=Mt.dtype)[:, :, None]
@@ -96,7 +83,10 @@ def _hs_prefix_matmul_t(Mt: jax.Array) -> jax.Array:
     while d < B:
         pad = jnp.broadcast_to(eye, (K, K, d))
         shifted = jnp.concatenate([pad, x[:, :, :-d]], axis=2)
-        x = _combine_mats_t(shifted, x)
+        # z[i,k,b] = sum_j shifted[i,j,b] * x[j,k,b]  (earlier @ later)
+        z = jnp.sum(shifted[:, :, None, :] * x[None, :, :, :], axis=1)
+        m = jnp.max(z, axis=(0, 1), keepdims=True)
+        x = z / jnp.maximum(m, jnp.float32(1e-35))
         d <<= 1
     return x
 
@@ -108,28 +98,43 @@ def prefix_matmul_scan_t(Mt: jax.Array) -> jax.Array:
     blocked scans the sweep bottleneck; measured 20.5 ms -> sub-ms at
     B=65536).
 
-    Work-efficient (Brent-Kung) recursion: combine adjacent pairs, recurse
-    on the B/2 pair products (giving the prefixes at odd global indices),
-    then one more combine for the even indices — ~2B combines total vs the
-    Hillis-Steele form's B log2(B) (15 levels of full-array traffic at the
-    settled capacity ~30k). Falls back to Hillis-Steele at the base."""
+    Two-level blocked form when B is a multiple of the group size:
+    Hillis-Steele within (K, K, G, 128) contiguous groups (7 levels), a
+    cross-group scan over the (K, K, G) group totals, then one broadcast
+    combine — ~8B combines total vs B·log2(B) (15 levels of full-array
+    traffic at the settled capacity ~30k) for the flat form."""
     K = Mt.shape[0]
     B = Mt.shape[-1]
-    if B <= _SCAN_BASE or (B % 2):
+    if B <= 2 * _GROUP or (B % _GROUP):
         return _hs_prefix_matmul_t(Mt)
-    x = Mt.reshape(K, K, B // 2, 2)
-    even, odd = x[..., 0], x[..., 1]
-    pairs = _combine_mats_t(even, odd)
-    P = prefix_matmul_scan_t(pairs)  # (K, K, B/2): prefixes at 2k+1
-    eye = jnp.eye(K, dtype=Mt.dtype)[:, :, None]
-    Pshift = jnp.concatenate([eye, P[:, :, :-1]], axis=2)
-    out_even = _combine_mats_t(Pshift, even)  # prefixes at 2k
-    return jnp.stack([out_even, P], axis=-1).reshape(K, K, B)
+    G = B // _GROUP
+    x = Mt.reshape(K, K, G, _GROUP)
+    eye4 = jnp.eye(K, dtype=Mt.dtype)[:, :, None, None]
+    d = 1
+    while d < _GROUP:  # in-group inclusive prefixes
+        pad = jnp.broadcast_to(eye4, (K, K, G, d))
+        shifted = jnp.concatenate([pad, x[..., :-d]], axis=-1)
+        z = jnp.sum(shifted[:, :, None] * x[None], axis=1)
+        m = jnp.max(z, axis=(0, 1), keepdims=True)
+        x = z / jnp.maximum(m, jnp.float32(1e-35))
+        d <<= 1
+    totals = x[..., -1]  # (K, K, G) whole-group products
+    pre = _hs_prefix_matmul_t(totals)  # inclusive
+    pre = jnp.concatenate(
+        [jnp.eye(K, dtype=Mt.dtype)[:, :, None], pre[:, :, :-1]], axis=2
+    )  # exclusive cross-group prefixes
+    # out[i,k,q,r] = sum_j pre[i,j,q] * x[j,k,q,r]
+    z = jnp.sum(pre[:, :, None, :, None] * x[None], axis=1)
+    m = jnp.max(z, axis=(0, 1), keepdims=True)
+    z = z / jnp.maximum(m, jnp.float32(1e-35))
+    return z.reshape(K, K, B)
 
 
 def _hs_suffix_compose_t(maps_t: jax.Array) -> jax.Array:
-    """Hillis-Steele suffix compositions (base case), identity-padded on
-    the right."""
+    """Hillis-Steele suffix compositions over the minor axis of a (K, B)
+    stack (base case / cross-group totals), identity-padded on the right;
+    the composition gather is a K-way one-hot select (pure elementwise, no
+    cross-lane gather)."""
     K, B = maps_t.shape
     ident = jnp.arange(K, dtype=maps_t.dtype)[:, None]
     x = maps_t
@@ -137,7 +142,11 @@ def _hs_suffix_compose_t(maps_t: jax.Array) -> jax.Array:
     while d < B:
         pad = jnp.broadcast_to(ident, (K, d))
         shifted = jnp.concatenate([x[:, d:], pad], axis=1)  # x[b+d]
-        x = _comp_maps_t(x, shifted)
+        # combined[j,b] = x[shifted[j,b], b]
+        acc = jnp.zeros_like(x)
+        for i in range(K):
+            acc = acc + jnp.where(shifted == i, x[i][None, :], 0)
+        x = acc
         d <<= 1
     return x
 
@@ -146,22 +155,35 @@ def suffix_compose_scan_t(maps_t: jax.Array) -> jax.Array:
     """Suffix compositions r_b = m_b ∘ m_{b+1} ∘ ... of index maps in
     transposed layout (K, B) int32 (r_b[j] = m_b[r_{b+1}[j]]).
 
-    Work-efficient (Brent-Kung) recursion mirroring prefix_matmul_scan_t:
-    pair products give the suffixes at even global indices via recursion;
-    odd indices are one more composition with the following even suffix."""
+    Two-level blocked form mirroring prefix_matmul_scan_t: in-group
+    reverse Hillis-Steele over (K, G, 128), a cross-group scan of the
+    (K, G) whole-group compositions, then one broadcast composition."""
     K, B = maps_t.shape
-    if B <= _SCAN_BASE or (B % 2):
+    if B <= 2 * _GROUP or (B % _GROUP):
         return _hs_suffix_compose_t(maps_t)
-    x = maps_t.reshape(K, B // 2, 2)
-    even, odd = x[..., 0], x[..., 1]
-    pairs = _comp_maps_t(even, odd)
-    S = suffix_compose_scan_t(pairs)  # (K, B/2): suffixes at 2k
-    ident = jnp.broadcast_to(
+    G = B // _GROUP
+    x = maps_t.reshape(K, G, _GROUP)
+    ident3 = jnp.arange(K, dtype=maps_t.dtype)[:, None, None]
+    d = 1
+    while d < _GROUP:  # in-group suffix compositions
+        pad = jnp.broadcast_to(ident3, (K, G, d))
+        shifted = jnp.concatenate([x[..., d:], pad], axis=-1)
+        acc = jnp.zeros_like(x)
+        for i in range(K):
+            acc = acc + jnp.where(shifted == i, x[i][None], 0)
+        x = acc
+        d <<= 1
+    totals = x[..., 0]  # (K, G) whole-group compositions
+    after = _hs_suffix_compose_t(totals)
+    ident2 = jnp.broadcast_to(
         jnp.arange(K, dtype=maps_t.dtype)[:, None], (K, 1)
     )
-    Sshift = jnp.concatenate([S[:, 1:], ident], axis=1)  # r at 2k+2
-    out_odd = _comp_maps_t(odd, Sshift)
-    return jnp.stack([S, out_odd], axis=-1).reshape(K, B)
+    after = jnp.concatenate([after[:, 1:], ident2], axis=1)  # groups > q
+    # out[j,q,r] = x[after[j,q], q, r]
+    acc = jnp.zeros_like(x)
+    for i in range(K):
+        acc = acc + jnp.where((after == i)[:, :, None], x[i][None], 0)
+    return acc.reshape(K, B)
 
 
 def forward_columns_t(
