@@ -9,6 +9,7 @@ Usage:  timeout 1800 python benchmarks/ablate.py [micro]
 Env:    HAMMLET_BENCH_T (default 4_000_000)
 """
 
+import os
 import sys
 import time
 
@@ -16,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import ensure_data, log  # noqa: E402
 from hammlet_tpu.models.hmm import HMMState, resample_model  # noqa: E402

@@ -297,7 +297,7 @@ def _run(args: dict[str, list[str]]) -> int:
         outputs=outputs - {"mapping"},
         overwrite=overwrite,
     )
-    n_devices = int(args["-D"][0]) if args.get("-D") else 1
+    n_devices = _parse_at(args["-D"], 0, int, "-D") if args.get("-D") else 1
     if n_devices > 1:
         from hammlet_tpu.parallel import make_sharded_engine, position_mesh
 
@@ -341,7 +341,7 @@ def _run(args: dict[str, list[str]]) -> int:
 
         engine.checkpoint_path = args["-C"][0]
         engine.checkpoint_every = (
-            int(args["-C"][1]) if len(args["-C"]) > 1 else 100
+            _parse_at(args["-C"], 1, int, "-C") if len(args["-C"]) > 1 else 100
         )
         if _os.path.exists(engine.checkpoint_path):
             restore = (

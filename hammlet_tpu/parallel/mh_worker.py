@@ -30,8 +30,6 @@ def synth(T: int, seed: int = 7):
         s = int(rng.integers(0, 3))
         out.append(rng.normal(means[s], 1.0, size=n))
         t += n
-    import numpy as np
-
     return np.concatenate(out).astype(np.float32)
 
 

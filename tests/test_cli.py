@@ -58,6 +58,21 @@ def test_aliases_and_conversion_errors(capsys):
     assert 'Conversion failed for string "eleven"!' in capsys.readouterr().err
 
 
+def test_conversion_errors_cover_D_and_C(tmp_path, capsys):
+    """-D and -C EVERY go through the same typed-parse layer as every
+    other numeric flag (Parser.hpp:46-54 error text)."""
+    f = synth(tmp_path)
+    rc = cli_main(["-f", f, "-a", "-D", "two", "-i", "F", "2", "0", "-w",
+                   "-o", str(tmp_path / "d-"), ".csv"])
+    assert rc == 1
+    assert 'Conversion failed for string "two"!' in capsys.readouterr().err
+    rc = cli_main(["-f", f, "-a", "-C", str(tmp_path / "ck.npz"), "often",
+                   "-i", "F", "2", "0", "-w",
+                   "-o", str(tmp_path / "c-"), ".csv"])
+    assert rc == 1
+    assert 'Conversion failed for string "often"!' in capsys.readouterr().err
+
+
 def test_missing_arguments_error(tmp_path, capsys):
     f = synth(tmp_path)
     rc = cli_main(["-f", f, "-a", "-e", "normal", "0.2"])  # p missing
