@@ -1,9 +1,16 @@
 """Genome-scale sharded run with bounded host memory.
 
-Synthesizes chromosome-scale input through a chunk provider (the full data
-array NEVER exists in host memory), builds the position-sharded engine, runs
-a recorded sampling scheme, RLE-compacts the marginals on device, and
-reports peak host RSS + throughput as one JSON line.
+Two modes:
+
+- ``--mode provider`` (default): synthesizes chromosome-scale input through
+  a chunk provider (the full data array NEVER exists in host memory),
+  builds the position-sharded engine, runs a recorded sampling scheme,
+  RLE-compacts the marginals on device.
+- ``--mode cli --datafile F``: drives the REAL front door
+  (``hammlet -f F -D N``) in-process — the ValueStream provider streams
+  token ranges from disk, so the input file never materializes either.
+
+Both report peak host RSS + throughput as one JSON line.
 
     JAX_PLATFORMS=cpu python benchmarks/genome_scale.py --T 250000000 \
         --devices 8 --scheme "M 10 0 F 20 2"
@@ -41,45 +48,82 @@ def chunk(start: int, stop: int) -> np.ndarray:
     return (mean + noise).astype(np.float32)[:, None]
 
 
+def write_datafile(path: str, T: int) -> None:
+    """Write chunk(0, T) as a text value stream (gzipped iff path.gz)."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt") as fh:
+        for lo in range(0, T, 1 << 20):
+            vals = chunk(lo, min(lo + (1 << 20), T))[:, 0]
+            fh.write("\n".join(f"{v:.5f}" for v in vals))
+            fh.write("\n")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--T", type=int, default=250_000_000)
     ap.add_argument("--devices", type=int, default=None)
     ap.add_argument("--scheme", default="M 6 0 F 10 2")
     ap.add_argument("--outdir", default=None)
+    ap.add_argument("--mode", choices=["provider", "cli"], default="provider")
+    ap.add_argument("--datafile", default=None,
+                    help="cli mode: input value stream (use write_datafile)")
     args = ap.parse_args()
 
-    from hammlet_tpu.io.records import Records
-    from hammlet_tpu.parallel import make_sharded_engine, position_mesh
     from hammlet_tpu.runner import enable_compilation_cache
 
     enable_compilation_cache()
     outdir = args.outdir or tempfile.mkdtemp(prefix="hammlet-genome-")
     t0 = time.time()
-    rec = Records(
-        args.T, os.path.join(outdir, "g-"), ".csv", 3,
-        outputs={"marginals", "compression"}, overwrite=True,
-    )
-    eng = make_sharded_engine(
-        chunk, mesh=position_mesh(args.devices), T=args.T, dim=1,
-        nr_params=3, seed=0, records=rec,
-    )
-    t_ingest = time.time() - t0
-    eng.run_scheme(args.scheme.split())
-    t1 = time.time()
-    eng.finalize()
-    t_final = time.time() - t1
+
+    if args.mode == "cli":
+        import jax
+
+        from hammlet_tpu.cli import main as cli_main
+
+        n_dev = args.devices or jax.local_device_count()
+        rc = cli_main(
+            ["-f", args.datafile, "-s", "3", "-a", "-R", "0",
+             "-D", str(n_dev), "-o", os.path.join(outdir, "g-"), ".csv",
+             "-O", "marginals", "compression", "-w",
+             "-i", *args.scheme.split()]
+        )
+        if rc != 0:
+            return rc
+        t_total = time.time() - t0
+        metrics = {"devices": n_dev, "cli_s": round(t_total, 2)}
+    else:
+        from hammlet_tpu.io.records import Records
+        from hammlet_tpu.parallel import make_sharded_engine, position_mesh
+
+        rec = Records(
+            args.T, os.path.join(outdir, "g-"), ".csv", 3,
+            outputs={"marginals", "compression"}, overwrite=True,
+        )
+        eng = make_sharded_engine(
+            chunk, mesh=position_mesh(args.devices), T=args.T, dim=1,
+            nr_params=3, seed=0, records=rec,
+        )
+        t_ingest = time.time() - t0
+        eng.run_scheme(args.scheme.split())
+        t1 = time.time()
+        eng.finalize()
+        m = eng.metrics()
+        metrics = {
+            "devices": eng.n_shards,
+            "ingest_s": round(t_ingest, 2),
+            "sweeps_per_second": round(m["sweeps_per_second"], 2),
+            "positions_per_second": round(m["positions_per_second"], 0),
+            "finalize_s": round(time.time() - t1, 2),
+        }
 
     n_seg = sum(1 for _ in open(os.path.join(outdir, "g-marginals.csv")))
     peak_rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
-    m = eng.metrics()
     print(json.dumps({
         "T": args.T,
-        "devices": eng.n_shards,
-        "ingest_s": round(t_ingest, 2),
-        "sweeps_per_second": round(m["sweeps_per_second"], 2),
-        "positions_per_second": round(m["positions_per_second"], 0),
-        "finalize_s": round(t_final, 2),
+        "mode": args.mode,
+        **metrics,
         "marginal_segments": n_seg,
         "peak_rss_bytes": peak_rss,
         "outdir": outdir,

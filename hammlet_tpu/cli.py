@@ -33,7 +33,7 @@ from __future__ import annotations
 import sys
 import time
 
-from hammlet_tpu.io.input import read_values
+from hammlet_tpu.io.input import ValueStream, read_values
 from hammlet_tpu.io.records import Records
 from hammlet_tpu.runner import make_engine
 
@@ -282,12 +282,28 @@ def _run(args: dict[str, list[str]]) -> int:
             rc |= _run(sub)
         return rc
 
-    data = read_values(args.get("-f"), nr_dim)
-    T = data.shape[0]
+    n_devices = _parse_at(args["-D"], 0, int, "-D") if args.get("-D") else 1
+
+    # sharded runs stream the input: the provider hands the ingest one
+    # token range at a time (each process reads only its own shards' byte
+    # ranges ~2x), so a multi-Gbp file never materializes on any host —
+    # the reference's one-pass istream ingest property (wavelet.hpp:98-188)
+    stream = None
+    if n_devices > 1 and args.get("-f"):
+        stream = ValueStream(args["-f"], nr_dim)
+        data, T = stream, stream.T
+    else:
+        data = read_values(args.get("-f"), nr_dim)
+        T = data.shape[0]
     if verbose:
         print(f"Output will be written to {opref}*{osuff}")
         print(f"Number of data points: {T}")
         print("Calculating Haar breakpoint weights")
+
+    # single writer: in a multi-host run only the primary process opens
+    # output files (Records.hpp:52-70 has one writer by construction);
+    # every other rank participates in the collectives with an inert hub
+    from hammlet_tpu.parallel.distributed import is_primary
 
     records = Records(
         T,
@@ -296,14 +312,16 @@ def _run(args: dict[str, list[str]]) -> int:
         nr_params**nr_dim,
         outputs=outputs - {"mapping"},
         overwrite=overwrite,
+        write=is_primary(),
     )
-    n_devices = _parse_at(args["-D"], 0, int, "-D") if args.get("-D") else 1
     if n_devices > 1:
         from hammlet_tpu.parallel import make_sharded_engine, position_mesh
 
         engine = make_sharded_engine(
             data,
             mesh=position_mesh(n_devices),
+            T=T,
+            dim=nr_dim,
             nr_params=nr_params,
             nr_data_dim=nr_dim,
             seed=seed,
@@ -316,6 +334,8 @@ def _run(args: dict[str, list[str]]) -> int:
             use_self_transitions=use_self,
             records=records,
         )
+        if stream is not None:
+            stream.close()
     else:
         engine = make_engine(
             data,

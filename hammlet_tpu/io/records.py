@@ -53,7 +53,15 @@ class Records:
         nr_states: int,
         outputs: set[str] | None = None,
         overwrite: bool = False,
+        write: bool = True,
     ):
+        """``write=False`` makes this a non-writing participant: it keeps
+        the ``enabled`` set (so every rank of a multi-host run takes the
+        same record-fetching code paths) but opens no files and every
+        record call is a no-op. The reference has a single writer by
+        construction (Records.hpp:52-70); in a multi-host run only the
+        primary process passes write=True (cli.py routes this through
+        parallel.distributed.is_primary())."""
         self.T = T
         self.nr_states = nr_states
         self.prefix = prefix
@@ -64,6 +72,8 @@ class Records:
             raise ValueError(f"unknown output streams: {sorted(unknown)}")
         self.enabled = outputs
         self._files: dict[str, IO[str]] = {}
+        if not write:
+            return
         for name in self.STREAMS:
             if name in self.enabled:
                 path = prefix + name + suffix

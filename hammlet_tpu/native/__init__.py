@@ -70,6 +70,18 @@ def _load():
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.hammlet_stream_open.argtypes = [ctypes.c_char_p]
+    lib.hammlet_stream_open.restype = ctypes.c_void_p
+    lib.hammlet_stream_close.argtypes = [ctypes.c_void_p]
+    lib.hammlet_stream_read.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.hammlet_stream_read.restype = ctypes.c_int64
+    lib.hammlet_count_values.argtypes = [ctypes.c_char_p]
+    lib.hammlet_count_values.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -93,6 +105,51 @@ def parse_file(path: str) -> np.ndarray | None:
     finally:
         lib.hammlet_free(out)
     return arr
+
+
+def count_values(path: str) -> int | None:
+    """Count whitespace-separated tokens in a (possibly gzipped) file
+    without materializing anything."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.hammlet_count_values(path.encode())
+    return None if n < 0 else int(n)
+
+
+class TokenStream:
+    """Sequential token stream over one (possibly gzipped) file; forward
+    skips run at scan speed, backward requests rewind the decompressor."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise OSError("native library unavailable")
+        self._lib = lib
+        self._h = lib.hammlet_stream_open(path.encode())
+        if not self._h:
+            raise OSError(f"cannot open {path}")
+
+    def read(self, skip_to: int, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.float32)
+        got = self._lib.hammlet_stream_read(
+            self._h, skip_to, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if got < 0:
+            raise OSError("stream read failed")
+        return out[:got]
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.hammlet_stream_close(self._h)
+            self._h = None
+
+    def __del__(self):  # best-effort; close() is the real API
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def maxlet(data: np.ndarray) -> np.ndarray | None:

@@ -2,15 +2,15 @@
 
 Usage:
     python -m hammlet_tpu.parallel.mh_worker <process_id> <num_processes> \
-        <port> <outdir> [T] [local_devices]
+        <port> <datafile> <outprefix> [local_devices] [scheme...]
 
-Every process generates the same deterministic synthetic data, builds the
-position-sharded engine over the process-spanning mesh (each process
-ingests only the shards on its own devices), runs the same scheme, and
-writes its own copy of the record streams to <outdir>/rank<i>-*.csv —
-identical output on every rank proves the global computation is
-rank-invariant; tests/test_multihost.py additionally compares it against
-the single-process mesh byte for byte."""
+Every process joins the jax.distributed coordination service and then runs
+the REAL CLI front door (`hammlet_tpu.cli.main`) on the same input file
+with the same SHARED output prefix: ingest streams only the process-local
+shards' token ranges, and only the primary process opens/writes the output
+files (Records write=is_primary()); tests/test_multihost.py compares the
+shared outputs byte-for-byte against a single-process CLI run of the same
+command."""
 
 from __future__ import annotations
 
@@ -35,39 +35,29 @@ def synth(T: int, seed: int = 7):
 
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
-    outdir = sys.argv[4]
-    T = int(sys.argv[5]) if len(sys.argv) > 5 else 3000
+    datafile, outprefix = sys.argv[4], sys.argv[5]
     local = int(sys.argv[6]) if len(sys.argv) > 6 else 8 // nproc
+    scheme = sys.argv[7:] or "M 10 0 F 10 0 F 20 2".split()
 
     os.environ["HAMMLET_COORDINATOR"] = f"localhost:{port}"
     os.environ["HAMMLET_NUM_PROCESSES"] = str(nproc)
     os.environ["HAMMLET_PROCESS_ID"] = str(pid)
     os.environ["HAMMLET_LOCAL_DEVICES"] = str(local)
 
-    from hammlet_tpu.parallel.distributed import initialize_from_env
+    from hammlet_tpu.cli import main as cli_main
 
-    assert initialize_from_env()
+    rc = cli_main(
+        ["-f", datafile, "-s", "3", "-a", "-R", "5", "-D", str(local * nproc),
+         "-o", outprefix, ".csv",
+         "-O", "marginals", "parameters", "compression", "-i", *scheme]
+    )
+    if rc != 0:
+        raise SystemExit(rc)
     import jax
 
-    assert jax.process_count() == nproc
-
-    import numpy as np
-
-    from hammlet_tpu.io.records import Records
-    from hammlet_tpu.parallel import make_sharded_engine, position_mesh
-
-    data = synth(T)
-    rec = Records(
-        T, os.path.join(outdir, f"rank{pid}-"), ".csv", 3,
-        outputs={"marginals", "parameters", "compression"},
-        overwrite=True,
+    print(
+        f"rank {pid}: ok, primary={jax.process_index() == 0}", flush=True
     )
-    eng = make_sharded_engine(
-        data, mesh=position_mesh(), nr_params=3, seed=5, records=rec
-    )
-    eng.run_scheme("M 10 0 F 10 0 F 20 2".split())
-    eng.finalize()
-    print(f"rank {pid}: ok, {eng.metrics()['sweeps']} sweeps", flush=True)
 
 
 if __name__ == "__main__":

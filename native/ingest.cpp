@@ -74,9 +74,136 @@ bool read_file_raw(const char* path, std::vector<char>& buf) {
     return off == st.st_size;
 }
 
+// Sequential token stream over a (possibly gzipped) text file. Tokens are
+// whitespace-separated; the stream keeps a token cursor and supports
+// forward skips at scan speed and rewinds by reopening the decompressor.
+// This is the bounded-memory ingest path (the reference streams its whole
+// ingest from an istream the same way, src/wavelet.hpp:131): a provider
+// asks for token ranges and never more than one chunk is resident.
+struct TokenStream {
+    bool is_gz = false;
+    gzFile gz = nullptr;
+    FILE* f = nullptr;
+    std::vector<char> buf;
+    size_t pos = 0, len = 0;
+    bool eof = false;
+    int64_t cursor = 0;  // tokens fully consumed
+
+    bool open(const char* path) {
+        size_t n = std::strlen(path);
+        is_gz = n > 3 && std::strcmp(path + n - 3, ".gz") == 0;
+        if (is_gz) {
+            gz = gzopen(path, "rb");
+            if (gz) gzbuffer(gz, 1 << 20);
+            return gz != nullptr;
+        }
+        f = std::fopen(path, "rb");
+        return f != nullptr;
+    }
+    void close() {
+        if (gz) gzclose(gz);
+        if (f) std::fclose(f);
+        gz = nullptr;
+        f = nullptr;
+    }
+    void rewind() {
+        if (is_gz)
+            gzrewind(gz);
+        else
+            std::fseek(f, 0, SEEK_SET);
+        pos = len = 0;
+        eof = false;
+        cursor = 0;
+    }
+    bool fill() {
+        if (pos < len) return true;
+        if (eof) return false;
+        if (buf.empty()) buf.resize(1 << 20);
+        long n = is_gz ? gzread(gz, buf.data(), (unsigned)buf.size())
+                       : (long)std::fread(buf.data(), 1, buf.size(), f);
+        if (n <= 0) {
+            eof = true;
+            return false;
+        }
+        pos = 0;
+        len = (size_t)n;
+        return true;
+    }
+    // Advance past one token. If tmp != nullptr, collect its bytes (up to
+    // 63) for parsing. Returns false at EOF before any token byte.
+    bool next_token(char* tmp) {
+        while (true) {  // skip whitespace, spanning refills
+            if (!fill()) return false;
+            while (pos < len && std::isspace((unsigned char)buf[pos])) ++pos;
+            if (pos < len) break;
+        }
+        size_t k = 0;
+        while (true) {  // collect token bytes, spanning refills
+            while (pos < len && !std::isspace((unsigned char)buf[pos])) {
+                if (tmp && k < 63) tmp[k++] = buf[pos];
+                ++pos;
+            }
+            if (pos < len || !fill()) break;
+        }
+        if (tmp) tmp[k] = '\0';
+        ++cursor;
+        return true;
+    }
+};
+
 }  // namespace
 
 extern "C" {
+
+// ---- streaming token-range API (bounded-memory ingest) -------------------
+
+void* hammlet_stream_open(const char* path) {
+    TokenStream* s = new TokenStream();
+    if (!s->open(path)) {
+        delete s;
+        return nullptr;
+    }
+    return s;
+}
+
+void hammlet_stream_close(void* h) {
+    TokenStream* s = (TokenStream*)h;
+    if (!s) return;
+    s->close();
+    delete s;
+}
+
+// Parse tokens [skip_to, skip_to + n) of the stream into out. Backward
+// requests rewind (gz: one full re-decompression to the target — callers
+// read mostly ascending so this is rare); forward gaps are skipped at scan
+// speed without float parsing. Returns the number of tokens parsed (< n
+// only at EOF), or -1 on error.
+int64_t hammlet_stream_read(void* h, int64_t skip_to, int64_t n, float* out) {
+    TokenStream* s = (TokenStream*)h;
+    if (!s) return -1;
+    if (skip_to < s->cursor) s->rewind();
+    while (s->cursor < skip_to)
+        if (!s->next_token(nullptr)) return 0;
+    char tmp[64];
+    int64_t parsed = 0;
+    while (parsed < n) {
+        if (!s->next_token(tmp)) break;
+        out[parsed++] = strtof(tmp, nullptr);
+    }
+    return parsed;
+}
+
+// Count whitespace-separated tokens in a (possibly gzipped) file without
+// materializing anything. Returns -1 on error.
+int64_t hammlet_count_values(const char* path) {
+    TokenStream s;
+    if (!s.open(path)) return -1;
+    while (s.next_token(nullptr)) {
+    }
+    int64_t n = s.cursor;
+    s.close();
+    return n;
+}
 
 // Parse a (possibly gzipped) text file of whitespace-separated floats.
 // Returns a malloc'd array in *out (caller frees via hammlet_free) and the

@@ -1,10 +1,25 @@
-"""Genome-scale sharded run: bounded host memory end to end.
+"""Genome-scale bounded host memory, end to end and deterministic.
 
-The previous ingest materialized float64 (T, dim, 2) monoliths (~48 GB at
-3 Gbp). This drives benchmarks/genome_scale.py — data arrives through a
-chunk provider, ingest is per-shard, marginals RLE-compact on device — and
-asserts the peak RSS stays within a per-position budget that the monolithic
-path could not meet. Scale T up with HAMMLET_BIG_T (250M validated)."""
+Drives benchmarks/genome_scale.py twice per leg: the first child run warms
+the persistent compilation cache (/tmp/jax_cache), the second is the
+measured run — so the RSS assertion sees a deterministic warm-cache
+process instead of whatever compile arenas a cold cache happens to grow
+(the round-2 flat budget flaked exactly that way).
+
+Budget model, measured on this harness (8-device CPU mesh, warm cache):
+peak RSS = 0.46 GB baseline + 64 B/position (counts 12 + prefix 8 + rank
+structure 8 + boundary byte = 29 inherent device bytes/position, the rest
+ingest/record transients). The guard uses 0.6 GB + 70 B/position: ~15
+B/position of slack, so any reintroduced O(T) float64 monolith with even
+one copy (>= 16 B/position) trips it at the default T = 16M, and a single
+bare 8 B/position monolith trips it at HAMMLET_BIG_T >= 64M (2 GB at the
+250M validation scale vs the fixed ~0.2-1.6 GB headroom).
+
+The CLI leg drives the real front door (bin/hammlet semantics via
+cli.main) on a gzipped value stream: ValueStream ranges stream from disk,
+np.loadtxt-style full materialization (~10x the text size transient) would
+blow the same budget.
+"""
 
 import json
 import os
@@ -13,9 +28,11 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+BUDGET_BASE = 0.6e9
+BUDGET_PER_POS = 70
 
-def test_genome_scale_bounded_memory():
-    T = int(os.environ.get("HAMMLET_BIG_T", 16_000_000))
+
+def _run(T, extra, timeout=3000):
     env = {
         **os.environ,
         "PYTHONPATH": REPO,
@@ -24,20 +41,34 @@ def test_genome_scale_bounded_memory():
     }
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks", "genome_scale.py"),
-         "--T", str(T), "--devices", "8", "--scheme", "M 4 0 F 6 2"],
-        env=env, capture_output=True, text=True, timeout=3000,
+         "--T", str(T), "--devices", "8", "--scheme", "M 4 0 F 6 2", *extra],
+        env=env, capture_output=True, text=True, timeout=timeout,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
-    m = json.loads(out.stdout.strip().splitlines()[-1])
-    # inherent device-buffer budget is ~29 B/position on a CPU mesh (counts
-    # 12, prefix 8, rank structure 8, boundary byte); 70 B/position + a
-    # fixed baseline leaves room for transients but not for any O(T)
-    # float64 monolith (16 B/position each) plus their copies. The baseline
-    # covers the interpreter + XLA compile arenas on a COLD compilation
-    # cache (~1.5 GB observed when every program compiles in-process); the
-    # per-position term is what detects monoliths at HAMMLET_BIG_T scale
-    budget = 1.75e9 + 70 * T
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _check(m, T):
+    budget = BUDGET_BASE + BUDGET_PER_POS * T
     assert m["peak_rss_bytes"] < budget, (m["peak_rss_bytes"], budget)
     # the planted segmentation (1000-position segments) was recovered and
     # compacted: the RLE store is ~T/1000 rows, not T
     assert 0.5 * T / 1000 <= m["marginal_segments"] <= 3 * T / 1000
+
+
+def test_genome_scale_bounded_memory():
+    T = int(os.environ.get("HAMMLET_BIG_T", 16_000_000))
+    _run(T, [])  # warm the compilation cache; RSS not asserted
+    _check(_run(T, []), T)
+
+
+def test_genome_scale_bounded_memory_cli(tmp_path):
+    """The same bound through the CLI front door on a gzipped stream."""
+    T = int(os.environ.get("HAMMLET_BIG_T_CLI", 4_000_000))
+    datafile = str(tmp_path / "genome.csv.gz")
+    from benchmarks.genome_scale import write_datafile
+
+    write_datafile(datafile, T)
+    args = ["--mode", "cli", "--datafile", datafile]
+    _run(T, args)  # warm
+    _check(_run(T, args), T)

@@ -1,19 +1,26 @@
-"""Process-spanning mesh: a real 2-process jax.distributed run on CPU.
+"""Process-spanning mesh: a real 2-process jax.distributed run on CPU,
+driven through the REAL CLI front door with a SHARED output prefix.
 
-Two subprocesses each own 4 of 8 global devices; every record stream they
-produce must be byte-identical across ranks AND byte-identical to the same
-scheme run on a single-process 8-device mesh (the global SPMD computation
-is the same program either way — only the transport differs)."""
+Two subprocesses each own 4 of 8 global devices and run the same
+`hammlet -f data.csv.gz -D 8 -o shared- .csv ...` command: ingest streams
+only the process-local shards' token ranges, only the primary process
+opens/writes files (there is no '-w' and the outputs do not pre-exist, so
+a second writer racing on the same paths could not slip through silently),
+and the shared outputs must be byte-identical to the same CLI command run
+on a single-process 8-device mesh (the global SPMD computation is the same
+program either way — only the transport differs)."""
 
+import gzip
 import os
 import socket
 import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCHEME = "M 10 0 F 10 0 F 20 2".split()
+STREAMS = ("marginals", "parameters", "compression")
 
 
 def _free_port() -> int:
@@ -24,7 +31,9 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_mesh_matches_single_process(tmp_path):
+def test_two_process_cli_shared_prefix_matches_single_process(tmp_path):
+    from hammlet_tpu.parallel.mh_worker import synth
+
     port = _free_port()
     env = {
         **os.environ,
@@ -33,10 +42,16 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         "XLA_FLAGS": "",
     }
     T = 3000
+    data = synth(T)
+    datafile = str(tmp_path / "data.csv.gz")
+    with gzip.open(datafile, "wt") as fh:
+        fh.write("\n".join(f"{v:.6f}" for v in data))
+
+    shared = str(tmp_path / "mh-")
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "hammlet_tpu.parallel.mh_worker",
-             str(pid), "2", str(port), str(tmp_path), str(T), "4"],
+             str(pid), "2", str(port), datafile, shared, "4", *SCHEME],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for pid in range(2)
@@ -44,31 +59,42 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     logs = [p.communicate(timeout=540)[0].decode() for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-3000:]
+    assert any("primary=True" in log for log in logs)
+    assert any("primary=False" in log for log in logs)
 
-    # every rank wrote the complete, identical output
-    for stream in ("marginals", "parameters", "compression"):
-        f0 = (tmp_path / f"rank0-{stream}.csv").read_text()
-        f1 = (tmp_path / f"rank1-{stream}.csv").read_text()
-        assert f0 == f1, f"{stream} differs between ranks"
+    # single-process 8-device CLI run of the same command -> same bytes
+    sp_env = {**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    sp = str(tmp_path / "sp-")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin", "hammlet"),
+         "-f", datafile, "-s", "3", "-a", "-R", "5", "-D", "8",
+         "-o", sp, ".csv", "-O", *STREAMS, "-i", *SCHEME],
+        env=sp_env, capture_output=True, text=True, timeout=540,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
 
-    # single-process 8-device mesh, same data/scheme/seed -> same bytes
+    for stream in STREAMS:
+        mh = (tmp_path / f"mh-{stream}.csv").read_text()
+        spf = (tmp_path / f"sp-{stream}.csv").read_text()
+        assert mh == spf, f"{stream}: multi-process differs from single-process"
+
+
+def test_non_primary_records_opens_no_files(tmp_path):
+    """Records(write=False) is an inert participant: same enabled set (so
+    every rank takes identical record-fetching code paths) but no files."""
     from hammlet_tpu.io.records import Records
-    from hammlet_tpu.parallel import make_sharded_engine, position_mesh
-    from hammlet_tpu.parallel.mh_worker import synth
 
-    data = synth(T)
     rec = Records(
-        T, str(tmp_path / "sp-"), ".csv", 3,
-        outputs={"marginals", "parameters", "compression"},
-        overwrite=True,
+        100, str(tmp_path / "np-"), ".csv", 3,
+        outputs={"marginals", "sequences", "blocks", "parameters",
+                 "compression", "segments"},
+        write=False,
     )
-    eng = make_sharded_engine(
-        data, mesh=position_mesh(8), nr_params=3, seed=5, records=rec
+    assert rec.wants_block_level()
+    rec.record_sweep(np.zeros(4, np.int32), np.full(4, 25, np.int32), 4)
+    rec.record_theta(np.zeros(3), np.ones(3))
+    rec.save_marginals_from_segments(
+        np.array([0, 50]), np.array([[5, 0, 0], [0, 5, 0]])
     )
-    eng.run_scheme("M 10 0 F 10 0 F 20 2".split())
-    eng.finalize()
-
-    for stream in ("marginals", "parameters", "compression"):
-        sp = (tmp_path / f"sp-{stream}.csv").read_text()
-        mp = (tmp_path / f"rank0-{stream}.csv").read_text()
-        assert sp == mp, f"{stream}: multi-process differs from single-process"
+    rec.close()
+    assert list(tmp_path.iterdir()) == []
