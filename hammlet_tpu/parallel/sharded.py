@@ -534,19 +534,43 @@ def build_sharded_phase(
     return jax.jit(phase, donate_argnums=(9, 10))
 
 
+@functools.lru_cache(maxsize=None)
+def _local_segment_gather(K: int, T_local: int, cap: int, is_first: bool):
+    """Per-device (non-collective) jit: decode one shard's boundary-diff
+    buffer and gather the counts at its segment starts, with a STATIC
+    capacity sized to that shard's actual segment count (pow2 bucket).
+    Compiled once per (cap, is_first) and cached."""
+
+    @jax.jit
+    def g(diff_l, everb_l):
+        cum = jnp.cumsum(diff_l.reshape(K, T_local), axis=1)
+        first = everb_l.at[0].set(True) if is_first else everb_l
+        (starts_l,) = jnp.nonzero(first, size=cap, fill_value=T_local)
+        seg = cum[:, jnp.minimum(starts_l, T_local - 1)]
+        return starts_l.astype(jnp.int32), jnp.transpose(seg)
+
+    return g
+
+
 def compact_sharded_marginals(engine) -> tuple[np.ndarray, np.ndarray]:
     """RLE-compact the sharded marginal accumulators ON DEVICE and download
     only per-segment rows (the reference's whole output design keeps the
     marginal store small, StateMarginals.hpp:20-21; downloading the full
     (P*K*T_local) counts buffer at 3 Gbp would be GBs over the host link).
 
-    Per shard: decode the local boundary-difference buffer with one cumsum,
-    add the cross-shard carry (all_gather of per-shard totals), and gather
-    the decoded counts at the local segment starts. Two small fetches reach
-    the host: per-shard segment counts, then (P, cap_seg) start/count rows.
+    Download traffic is proportional to ACTUAL segments: after one tiny
+    replicated summary fetch ((P,) segment counts + (P, K) shard totals),
+    every process gathers its own shards' rows with per-shard static
+    capacities (pow2 buckets of the true counts — at most 2x padding), so a
+    single degenerate low-compression shard (cap_seg -> T_local, the
+    reference's own caveat, doc/hammlet-manpage.md:178) no longer forces a
+    (P, T_local, K) worst-shard-replicated download. Cross-shard count
+    carries are added on the host from the shard totals. In a multi-host
+    run the per-process rows are exchanged once, padded only to the
+    largest PROCESS payload.
 
-    Returns (starts, seg_counts): global segment start positions (ascending)
-    and the (n_seg, K) recorded counts at those starts."""
+    Returns (starts, seg_counts): global segment start positions (ascending
+    int64) and the (n_seg, K) recorded counts at those starts."""
     K = engine.spec.nr_states
     T_local = engine.T_local
     mesh = engine.mesh
@@ -563,45 +587,71 @@ def compact_sharded_marginals(engine) -> tuple[np.ndarray, np.ndarray]:
                 check_rep=False,
             )
 
-    def count_fn(everb_l):
+    def summary_fn(diff_l, everb_l):
         k = jax.lax.axis_index(POS_AXIS)
         extra = jnp.where(k == 0, 1, 0)  # global position 0 starts a segment
-        return (jnp.sum(everb_l.astype(jnp.int32)) + extra)[None]
+        n = (jnp.sum(everb_l.astype(jnp.int32)) + extra)[None]
+        tot = jnp.sum(diff_l.reshape(K, T_local), axis=1)[None]  # (1, K)
+        return n, tot
 
-    n_seg_shard = _replicated_fetch(
-        mesh, jax.jit(_smap(count_fn, P(POS_AXIS), P(POS_AXIS)))(engine.everb)
+    n_seg_d, tots_d = jax.jit(
+        _smap(summary_fn, (P(POS_AXIS), P(POS_AXIS)), (P(POS_AXIS), P(POS_AXIS)))
+    )(engine.counts, engine.everb)
+    n_seg_shard = _replicated_fetch(mesh, n_seg_d).astype(np.int64)  # (P,)
+    tots = _replicated_fetch(mesh, tots_d).astype(np.int64)  # (P, K)
+    carries = np.concatenate(
+        [np.zeros((1, K), np.int64), np.cumsum(tots, axis=0)[:-1]]
     )
-    cap_seg = int(n_seg_shard.max())
 
-    def gather_fn(diff_l, everb_l):
-        k = jax.lax.axis_index(POS_AXIS)
-        nP = jax.lax.axis_size(POS_AXIS)
-        cum = jnp.cumsum(diff_l.reshape(K, T_local), axis=1)  # (K, T_local)
-        tots = jax.lax.all_gather(cum[:, -1], POS_AXIS)  # (P, K)
-        carry = jnp.sum(
-            jnp.where((jnp.arange(nP) < k)[:, None], tots, 0), axis=0
-        )  # (K,) exclusive cross-shard prefix
-        first = everb_l.at[0].set(jnp.where(k == 0, True, everb_l[0]))
-        (starts_l,) = jnp.nonzero(first, size=cap_seg, fill_value=T_local)
-        seg = (cum + carry[:, None])[
-            :, jnp.minimum(starts_l, T_local - 1)
-        ]  # (K, cap_seg); padded entries masked out on host
-        gstarts = (starts_l + k * T_local).astype(jnp.int32)
-        return gstarts[None], jnp.transpose(seg)[None]  # (1,cap), (1,cap,K)
+    # map global shard id -> local device buffers (only local shards are
+    # addressable; every process computes identical n_seg/carries above)
+    count_shards = {
+        (s.index[0].start or 0) // (K * T_local): s.data
+        for s in engine.counts.addressable_shards
+    }
+    everb_shards = {
+        (s.index[0].start or 0) // T_local: s.data
+        for s in engine.everb.addressable_shards
+    }
+    local_rows: list[np.ndarray] = []  # (n_j, 2 + K) int32: [j, local_start, counts...]
+    for j in sorted(count_shards):
+        n_j = int(n_seg_shard[j])
+        if n_j == 0:
+            continue
+        cap = min(1 << (n_j - 1).bit_length(), T_local)
+        g = _local_segment_gather(K, T_local, cap, j == 0)
+        starts_l, seg_l = g(count_shards[j], everb_shards[j])
+        rows = np.empty((n_j, 2 + K), dtype=np.int32)
+        rows[:, 0] = j
+        rows[:, 1] = np.asarray(starts_l)[:n_j]
+        rows[:, 2:] = np.asarray(seg_l)[:n_j]
+        local_rows.append(rows)
 
-    fn = jax.jit(
-        _smap(gather_fn, (P(POS_AXIS), P(POS_AXIS)), (P(POS_AXIS), P(POS_AXIS)))
+    mine = (
+        np.concatenate(local_rows)
+        if local_rows
+        else np.empty((0, 2 + K), dtype=np.int32)
     )
-    starts_d, seg_d = fn(engine.counts, engine.everb)
-    starts_h = _replicated_fetch(mesh, starts_d)  # (P, cap_seg)
-    seg_h = _replicated_fetch(mesh, seg_d)  # (P, cap_seg, K)
-    nP = engine.n_shards
-    starts = np.concatenate(
-        [starts_h[j, : n_seg_shard[j]] for j in range(nP)]
-    )
-    seg_counts = np.concatenate(
-        [seg_h[j, : n_seg_shard[j]] for j in range(nP)]
-    ).astype(np.int64)
+    if jax.process_count() > 1:
+        # exchange per-process rows once, padded to the largest process
+        # payload (not the worst shard x P)
+        from jax.experimental import multihost_utils
+
+        devices = mesh.devices.reshape(-1)
+        per_proc = np.zeros(jax.process_count(), dtype=np.int64)
+        for j, d in enumerate(devices):
+            per_proc[d.process_index] += n_seg_shard[j]
+        pad = int(per_proc.max())
+        buf = np.full((pad, 2 + K), -1, dtype=np.int32)
+        buf[: len(mine)] = mine
+        rows = multihost_utils.process_allgather(buf).reshape(-1, 2 + K)
+        rows = rows[rows[:, 0] >= 0]
+    else:
+        rows = mine
+    order = np.lexsort((rows[:, 1], rows[:, 0]))  # global shard-major order
+    rows = rows[order]
+    starts = rows[:, 0].astype(np.int64) * T_local + rows[:, 1]
+    seg_counts = rows[:, 2:].astype(np.int64) + carries[rows[:, 0]]
     return starts, seg_counts
 
 

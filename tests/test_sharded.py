@@ -177,6 +177,70 @@ def test_device_side_rle_matches_full_download(mesh8, tmp_path):
     ).read_bytes()
 
 
+def test_low_compression_stress(mesh8, tmp_path):
+    """Degenerate compression (near-white noise, ratio -> 1): the block
+    capacity grows to ~T_local via overflow replay, the RLE store
+    approaches one segment per position, and the segment-proportional
+    finalize still matches the full-download oracle byte for byte (the
+    reference flags exactly this regime as its memory-pressure point,
+    doc/hammlet-manpage.md:178)."""
+    from hammlet_tpu.parallel.sharded import compact_sharded_marginals
+
+    rng = np.random.default_rng(4)
+    # amplitude >> within-state noise at alternating positions: almost every
+    # position is a real breakpoint under any plausible noise estimate
+    data = (rng.normal(0, 1, 2048) + np.tile([0.0, 30.0], 1024)).astype(
+        np.float32
+    )
+    T = len(data)
+    e = make_sharded_engine(data, mesh=mesh8, nr_params=3, seed=6)
+    e.run_scheme("M 6 0 F 8 2".split())
+    # compression genuinely degenerated (most positions are block starts)
+    assert e.cap_local >= 0.5 * e.T_local, (e.cap_local, e.T_local)
+    counts = e.marginal_counts
+    assert (counts.sum(axis=0) == 4).all()
+
+    rec1 = Records(T, str(tmp_path / "full-"), ".csv", 3, overwrite=True)
+    rec1.save_marginals(counts.T, np.asarray(e.everb)[:T])
+    rec1.close()
+    rec2 = Records(T, str(tmp_path / "rle-"), ".csv", 3, overwrite=True)
+    starts, seg_counts = compact_sharded_marginals(e)
+    rec2.save_marginals_from_segments(starts, seg_counts)
+    rec2.close()
+    assert (tmp_path / "rle-marginals.csv").read_bytes() == (
+        tmp_path / "full-marginals.csv"
+    ).read_bytes()
+    # the marginal store really is ~per-position in this regime
+    assert len(starts) > 0.25 * T
+
+
+def test_low_compression_single_device(tmp_path):
+    """Same degenerate regime on the single-device engine: overflow replay
+    at capacity ~T, marginals still exact."""
+    rng = np.random.default_rng(5)
+    data = (rng.normal(0, 1, 2000) + np.tile([0.0, 30.0], 1000)).astype(
+        np.float32
+    )
+    rec = Records(
+        len(data), str(tmp_path / "lc-"), ".csv", 3,
+        outputs={"marginals", "compression"}, overwrite=True,
+    )
+    e = make_engine(data, nr_params=3, seed=6, records=rec)
+    e.run_scheme("M 6 0 F 8 2".split())
+    e.finalize()
+    rows = [
+        list(map(int, l.split("\t")))
+        for l in (tmp_path / "lc-marginals.csv").read_text().splitlines()
+    ]
+    assert sum(r[0] for r in rows) == len(data)
+    assert all(sum(r[1:]) == 4 for r in rows)
+    comp = [
+        float(x)
+        for x in (tmp_path / "lc-compression.csv").read_text().split()
+    ]
+    assert min(comp) < 3.0, comp  # ratio genuinely degenerated toward 1
+
+
 def test_sharded_count_invariants(mesh8):
     data, _ = synth(T=2048, seed=1)
     e = make_sharded_engine(data, mesh=mesh8, nr_params=3, seed=2)
