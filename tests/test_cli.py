@@ -171,6 +171,66 @@ def test_seed_changes_run(tmp_path):
     assert not np.array_equal(a, b)
 
 
+def test_multi_chain_device_parallel(tmp_path, monkeypatch):
+    """-M chains are device-parallel: each chain is pinned to its own local
+    device and runs concurrently (thread-local default_device; on real
+    TPU hardware N chromosomes then finish in ~the time of one — this CI
+    host has 2 cores under all 8 virtual devices, so the test asserts
+    genuine concurrency + placement + byte-identity to sequential, not a
+    wall-clock ratio)."""
+    import time
+
+    import jax
+
+    import hammlet_tpu.cli as cli
+
+    rng = np.random.default_rng(2)
+    files = []
+    for i in range(3):
+        f = tmp_path / f"chr{i+1}.csv"
+        np.savetxt(
+            f,
+            np.concatenate(
+                [rng.normal(0, 1, 2000), rng.normal(5, 1, 2000)]
+            ),
+        )
+        files.append(str(f))
+
+    intervals, devices_used = [], []
+    real_run = cli._run
+
+    def spy(sub):
+        if "-M" in sub:  # the dispatcher call itself, not a chain
+            return real_run(sub)
+        t0 = time.time()
+        devices_used.append(jax.config.jax_default_device)
+        rc = real_run(sub)
+        intervals.append((t0, time.time()))
+        return rc
+
+    monkeypatch.setattr(cli, "_run", spy)
+    base = ["-s", "2", "-a", "-R", "3", "-i", "M", "10", "0", "F", "20", "2",
+            "-O", "marginals", "parameters", "-w", "-M", "-f", *files]
+    assert cli.main(["-o", str(tmp_path / "par-"), ".csv", *base]) == 0
+    # each chain ran under a distinct pinned device
+    assert len({str(d) for d in devices_used}) == 3, devices_used
+    # chains genuinely overlapped in time
+    (s0, e0), (s1, e1) = sorted(intervals)[:2]
+    assert max(s0, s1) < min(e0, e1), intervals
+
+    # sequential (-D present forces it): outputs byte-identical
+    intervals.clear()
+    devices_used.clear()
+    assert cli.main(
+        ["-o", str(tmp_path / "seq-"), ".csv", "-D", "1", *base]
+    ) == 0
+    for i in range(3):
+        for s in ("marginals", "parameters"):
+            a = (tmp_path / f"par-chr{i+1}-{s}.csv").read_text()
+            b = (tmp_path / f"seq-chr{i+1}-{s}.csv").read_text()
+            assert a == b, (i, s)
+
+
 def test_multi_sequence_independent_chains(tmp_path):
     """-M: each -f file is an independent chain with its own outputs
     (the reference's per-chromosome workflow, bin/samToCounts:5-7)."""
