@@ -10,6 +10,7 @@ import pytest
 from hammlet_tpu.cli import main as cli_main
 from hammlet_tpu.golden.parity import (
     ensure_reference_binary,
+    parity_bound,
     parity_report,
     read_marginals,
 )
@@ -48,10 +49,9 @@ def _run_ours(tmp_path, data_file, scheme, s_args, tag, n_devices=None):
 
 
 def _assert_within_envelope(rep):
-    # within the measured MC envelope (mean over ref-vs-ref seed pairs),
-    # with slack for envelope estimation noise from only 3 pairs
-    bound = 1.6 * rep["envelope_mean"] + 0.01
-    assert rep["ours_mean"] <= bound, rep
+    # within the measured MC envelope; see golden.parity.parity_bound for
+    # the derivation (mean + max(4*sigma_pair, 0.15*mean) + 0.002)
+    assert rep["ours_mean"] <= parity_bound(rep), rep
 
 
 def test_parity_univariate_3state(tmp_path, ref_bin):
@@ -72,6 +72,59 @@ def test_parity_univariate_sharded(tmp_path, ref_bin):
     np.savetxt(f, data)
     scheme = "M 100 0 F 100 0 F 200 2".split()
     ours = _run_ours(tmp_path, str(f), scheme, ["3"], "tpu8", n_devices=8)
+    rep = parity_report(ref_bin, str(f), str(tmp_path), scheme, ["3"], ours)
+    _assert_within_envelope(rep)
+
+
+def test_parity_coriell_5state(tmp_path, ref_bin):
+    """BASELINE config 2 (Coriell-like array-CGH): ~2.3k probes, 5 states
+    under auto-priors — long copy-neutral stretches with short aberrant
+    segments at overlapping log-ratio levels. This is the config that
+    stresses the 5-state auto-prior closed form (AutoPriors.hpp:86-107)
+    and the label-permutation alignment hardest."""
+    rng = np.random.default_rng(21)
+    T = 2300
+    levels = [-1.0, -0.45, 0.0, 0.45, 1.0]  # del/loss/neutral/gain/amp
+    segs = []
+    t = 0
+    while t < T:
+        if rng.random() < 0.65:  # copy-neutral stretch
+            n, lvl = int(rng.integers(150, 400)), 2
+        else:  # short aberration
+            n, lvl = int(rng.integers(30, 120)), int(rng.integers(0, 5))
+        n = min(n, T - t)
+        segs.append(rng.normal(levels[lvl], 0.35, size=n))
+        t += n
+    data = np.concatenate(segs).astype(np.float32)
+    f = tmp_path / "coriell.csv"
+    np.savetxt(f, data)
+    scheme = "M 100 0 F 100 0 F 200 2".split()
+    ours = _run_ours(tmp_path, str(f), scheme, ["5"], "tpu5")
+    rep = parity_report(ref_bin, str(f), str(tmp_path), scheme, ["5"], ours)
+    _assert_within_envelope(rep)
+
+
+def test_parity_wgs_chain(tmp_path, ref_bin):
+    """BASELINE config 3 (single-chromosome WGS depth), CI-scaled to
+    T=100k (set HAMMLET_PARITY_WGS_T=250000000 for the full-size chain):
+    long read-depth-like segments, 3 states, genuinely long chain through
+    the same envelope harness."""
+    import os
+
+    T = int(os.environ.get("HAMMLET_PARITY_WGS_T", 100_000))
+    rng = np.random.default_rng(31)
+    means = [0.0, 1.8, -1.8]  # depth log-ratios at moderate SNR
+    segs = []
+    t = 0
+    while t < T:
+        n = min(int(rng.integers(400, 3000)), T - t)
+        segs.append(rng.normal(means[rng.integers(0, 3)], 1.0, size=n))
+        t += n
+    data = np.concatenate(segs).astype(np.float32)
+    f = tmp_path / "wgs.csv"
+    np.savetxt(f, data)
+    scheme = "M 60 0 F 60 0 F 120 2".split()
+    ours = _run_ours(tmp_path, str(f), scheme, ["3"], "tpuw")
     rep = parity_report(ref_bin, str(f), str(tmp_path), scheme, ["3"], ours)
     _assert_within_envelope(rep)
 
