@@ -7,13 +7,15 @@ process instead of whatever compile arenas a cold cache happens to grow
 (the round-2 flat budget flaked exactly that way).
 
 Budget model, measured on this harness (8-device CPU mesh, warm cache):
-peak RSS = 0.46 GB baseline + 64 B/position (counts 12 + prefix 8 + rank
+peak RSS = 0.46 GB baseline + 49 B/position (counts 12 + prefix 8 + rank
 structure 8 + boundary byte = 29 inherent device bytes/position, the rest
-ingest/record transients). The guard uses 0.6 GB + 70 B/position: ~15
-B/position of slack, so any reintroduced O(T) float64 monolith with even
-one copy (>= 16 B/position) trips it at the default T = 16M, and a single
-bare 8 B/position monolith trips it at HAMMLET_BIG_T >= 64M (2 GB at the
-250M validation scale vs the fixed ~0.2-1.6 GB headroom).
+ingest/record transients; 16M -> 1.24 GB, 32M -> 2.02 GB). The guard uses
+0.8 GB + 55 B/position: at the default T = 32M the headroom is ~0.54 GB,
+so any sustained >= 17 B/position regression — e.g. one float64 monolith
+plus a single copy — trips it; a single BARE 8 B/position monolith is
+below the default headroom and is caught by the HAMMLET_BIG_T=250M
+validation run (2 GB signal vs ~1.8 GB headroom there, since the per-
+position slack is only 6 B).
 
 The CLI leg drives the real front door (bin/hammlet semantics via
 cli.main) on a gzipped value stream: ValueStream ranges stream from disk,
@@ -28,8 +30,8 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-BUDGET_BASE = 0.6e9
-BUDGET_PER_POS = 70
+BUDGET_BASE = 0.8e9
+BUDGET_PER_POS = 55
 
 
 def _run(T, extra, timeout=3000):
@@ -57,7 +59,7 @@ def _check(m, T):
 
 
 def test_genome_scale_bounded_memory():
-    T = int(os.environ.get("HAMMLET_BIG_T", 16_000_000))
+    T = int(os.environ.get("HAMMLET_BIG_T", 32_000_000))
     _run(T, [])  # warm the compilation cache; RSS not asserted
     _check(_run(T, []), T)
 
