@@ -82,8 +82,73 @@ def _load():
     lib.hammlet_stream_read.restype = ctypes.c_int64
     lib.hammlet_count_values.argtypes = [ctypes.c_char_p]
     lib.hammlet_count_values.restype = ctypes.c_int64
+    lib.hammlet_format_int_lines.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+    ]
+    lib.hammlet_format_int_lines.restype = ctypes.c_int64
+    lib.hammlet_format_rle_lines.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.hammlet_format_rle_lines.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
+
+
+def _i32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def format_int_lines(vals: np.ndarray, ns: np.ndarray) -> bytes | None:
+    """(R, cap) int32 + per-row counts -> R tab-joined CSV lines."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.int32)
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    R, cap = vals.shape
+    buf = ctypes.create_string_buffer(int(12 * ns.sum() + R + 1))
+    n = lib.hammlet_format_int_lines(
+        _i32(vals), _i64(ns), R, cap, buf, len(buf)
+    )
+    return buf.raw[:n] if n >= 0 else None
+
+
+def format_rle_lines(
+    states: np.ndarray, sizes: np.ndarray, ns: np.ndarray
+) -> tuple[bytes, np.ndarray] | None:
+    """(R, cap) block states+sizes -> R 'SIZE:STATE' RLE lines (equal-state
+    runs merged) and the per-row segment counts."""
+    lib = _load()
+    if lib is None:
+        return None
+    states = np.ascontiguousarray(states, dtype=np.int32)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int32)
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    R, cap = states.shape
+    buf = ctypes.create_string_buffer(int(25 * ns.sum() + R + 1))
+    nsegs = np.zeros(R, dtype=np.int64)
+    n = lib.hammlet_format_rle_lines(
+        _i32(states), _i32(sizes), _i64(ns), R, cap, buf, len(buf), _i64(nsegs)
+    )
+    if n < 0:
+        return None
+    return buf.raw[:n], nsegs
 
 
 def available() -> bool:

@@ -655,6 +655,28 @@ def compact_sharded_marginals(engine) -> tuple[np.ndarray, np.ndarray]:
     return starts, seg_counts
 
 
+def _compact_block_rows(z_h: np.ndarray, s_h: np.ndarray, nbs_h: np.ndarray):
+    """Reassemble a chunk's per-shard block rows into global block order.
+
+    z_h/s_h: (R, P*cap) fetched per-recorded-sweep stacks where shard j's
+    valid blocks occupy [j*cap, j*cap + nbs_h[r, j]); returns dense
+    (R, max_total) states/sizes plus the per-row totals, ready for
+    Records.record_sweeps_batch (one vectorized compaction for the whole
+    chunk instead of P concatenates per sweep)."""
+    R, P = nbs_h.shape
+    cap = z_h.shape[1] // P
+    mask = (np.arange(cap)[None, None, :] < nbs_h[:, :, None]).reshape(R, -1)
+    ns = nbs_h.sum(axis=1).astype(np.int64)
+    maxn = int(ns.max()) if R else 0
+    states = np.zeros((R, maxn), dtype=np.int32)
+    sizes = np.zeros((R, maxn), dtype=np.int32)
+    tgt = mask.cumsum(axis=1) - 1
+    r_idx, f_idx = np.nonzero(mask)
+    states[r_idx, tgt[r_idx, f_idx]] = z_h[r_idx, f_idx]
+    sizes[r_idx, tgt[r_idx, f_idx]] = s_h[r_idx, f_idx]
+    return states, sizes, ns
+
+
 @dataclass
 class ShardedEngine:
     """Multi-device engine mirroring runner.Engine with position sharding."""
@@ -901,21 +923,23 @@ class ShardedEngine:
                 n_hits = n // max(thin_s, 1)
                 if wants_comp or wants_params or want_blocks:
                     nbs_h = _replicated_fetch(self.mesh, nbs)  # (hits, P)
-                    totals = nbs_h.sum(axis=1)
-                    means_h = np.asarray(means) if wants_params else None
-                    varis_h = np.asarray(varis) if wants_params else None
                     if want_blocks:
-                        z_h = _replicated_fetch(self.mesh, blk[0])
-                        s_h = _replicated_fetch(self.mesh, blk[1])
-                        nbound_h = np.asarray(blk[2])
-                    for j in range(n_hits):
-                        if want_blocks:
-                            self._record_sharded_sweep(
-                                z_h[j], s_h[j], nbs_h[j], int(nbound_h[j])
-                            )
-                        elif wants_comp:
-                            self.records.record_compression(int(totals[j]))
-                        if wants_params:
+                        z_h = _replicated_fetch(self.mesh, blk[0])[:n_hits]
+                        s_h = _replicated_fetch(self.mesh, blk[1])[:n_hits]
+                        nbound_h = np.asarray(blk[2])[:n_hits]
+                        states, szs, ns_tot = _compact_block_rows(
+                            z_h, s_h, nbs_h[:n_hits]
+                        )
+                        self.records.record_sweeps_batch(
+                            states, szs, ns_tot, nbound_h
+                        )
+                    elif wants_comp:
+                        for t in nbs_h.sum(axis=1)[:n_hits]:
+                            self.records.record_compression(int(t))
+                    if wants_params:
+                        means_h = np.asarray(means)
+                        varis_h = np.asarray(varis)
+                        for j in range(n_hits):
                             self.records.record_theta(means_h[j], varis_h[j])
             done += n
             self.sweeps_completed += n

@@ -499,23 +499,23 @@ class Engine:
                 n_hits = n // max(thin_s, 1)
                 if wants_comp or wants_params or want_blocks:
                     nbs_h = np.asarray(nbs)
-                    means_h = np.asarray(means) if wants_params else None
-                    varis_h = np.asarray(varis) if wants_params else None
                     if want_blocks:
-                        states_h = np.asarray(blk[0])
-                        sizes_h = np.asarray(blk[1])
-                        nbound_h = np.asarray(blk[2])
-                    for j in range(n_hits):
-                        if want_blocks:
-                            self.records.record_sweep(
-                                states_h[j],
-                                sizes_h[j],
-                                int(nbs_h[j]),
-                                int(nbound_h[j]),
-                            )
-                        elif wants_comp:
+                        # one native batch call formats the whole chunk's
+                        # CSV bytes (Python per-int formatting here cost
+                        # more than the TPU sweeps themselves)
+                        self.records.record_sweeps_batch(
+                            np.asarray(blk[0])[:n_hits],
+                            np.asarray(blk[1])[:n_hits],
+                            nbs_h[:n_hits],
+                            np.asarray(blk[2])[:n_hits],
+                        )
+                    elif wants_comp:
+                        for j in range(n_hits):
                             self.records.record_compression(int(nbs_h[j]))
-                        if wants_params:
+                    if wants_params:
+                        means_h = np.asarray(means)
+                        varis_h = np.asarray(varis)
+                        for j in range(n_hits):
                             self.records.record_theta(means_h[j], varis_h[j])
             done += n
             self.sweeps_completed += n
