@@ -192,7 +192,7 @@ def _cell_prefix(data: np.ndarray, T_local: int, cell_bits: int):
     Returns (r_local (T_local, dim, 2) f32, cell_tot (cells, dim, 2) f64)
     for the slice padded with zeros to T_local."""
     cell = 1 << cell_bits
-    data = np.asarray(data, dtype=np.float64)
+    data = np.asarray(data)
     if data.ndim == 1:
         data = data[:, None]
     L, dim = data.shape
@@ -204,7 +204,9 @@ def _cell_prefix(data: np.ndarray, T_local: int, cell_bits: int):
         if lo >= L:
             break
         hi = min(lo + cell, L)
-        seg = data[lo:hi]
+        # float64 exists only one cell at a time (a full-shard f64 copy
+        # would add 8 B/pos of host transient on top of the f32 slice)
+        seg = data[lo:hi].astype(np.float64)
         st = np.stack([seg, seg * seg], axis=-1)  # (n, dim, 2) float64
         rc = np.cumsum(st[::-1], axis=0)[::-1]
         r[lo:hi] = rc.astype(np.float32)
@@ -405,29 +407,64 @@ def sharded_ingest(
             if weight_multiplier != 1.0:
                 w = w * np.float32(weight_multiplier)
             starts_loc = np.flatnonzero(w >= thr)
-            d64 = np.asarray(provider(start, stop), dtype=np.float64)
-            if d64.ndim == 1:
-                d64 = d64[:, None]
             ns = len(starts_loc)
             summ[0] = ns
+            # stream the shard in bounded chunks (a full-shard float64 view
+            # would transiently double the per-shard host footprint — at
+            # 3 Gbp / 16 processes that is ~1.5 GB per host); the open
+            # block's (sum, count) carries across chunk edges
+            CHUNK = 1 << 21
+            cur = np.zeros(dim, dtype=np.float64)
+            cur_cnt = 0
+            inner_n = inner_s = inner_s2 = 0.0
+            head_done = False
+            si = 0
+            for off in range(0, L, CHUNK):
+                hi = min(off + CHUNK, L)
+                dc = np.asarray(
+                    provider(start + off, start + hi), dtype=np.float64
+                )
+                if dc.ndim == 1:
+                    dc = dc[:, None]
+                sj = np.searchsorted(starts_loc, hi, side="left")
+                sl = starts_loc[si:sj] - off
+                if sl.size == 0:
+                    cur += dc.sum(axis=0)
+                    cur_cnt += hi - off
+                    continue
+                first = int(sl[0])
+                cur += dc[:first].sum(axis=0)
+                cur_cnt += first
+                if not head_done:
+                    # cur_cnt == global index of the first start: the head
+                    # partial block joining the previous shard's tail
+                    summ[1] = cur_cnt
+                    summ[6 : 6 + dim] = cur
+                    head_done = True
+                elif cur_cnt > 0:
+                    m = cur / cur_cnt  # inner block closed at this start
+                    inner_n += dim
+                    inner_s += m.sum()
+                    inner_s2 += (m * m).sum()
+                sums = np.add.reduceat(dc, sl, axis=0)
+                sizes = np.diff(np.concatenate([sl, [hi - off]]))
+                if len(sl) > 1:
+                    m = sums[:-1] / sizes[:-1, None]  # inner complete blocks
+                    inner_n += m.size
+                    inner_s += m.sum()
+                    inner_s2 += (m * m).sum()
+                cur = sums[-1].astype(np.float64, copy=True)
+                cur_cnt = int(sizes[-1])
+                si = sj
             if ns == 0:
                 summ[1] = L  # whole shard joins the spanning block
-                summ[6 : 6 + dim] = d64.sum(axis=0)
+                summ[6 : 6 + dim] = cur
             else:
-                s0 = int(starts_loc[0])
-                summ[1] = s0
-                if s0 > 0:
-                    summ[6 : 6 + dim] = d64[:s0].sum(axis=0)
-                sums = np.add.reduceat(d64, starts_loc, axis=0)
-                sizes = np.diff(np.concatenate([starts_loc, [L]]))
-                if ns > 1:
-                    m = sums[:-1] / sizes[:-1, None]  # inner complete blocks
-                    summ[3] = m.size
-                    summ[4] = m.sum()
-                    summ[5] = (m * m).sum()
-                summ[2] = sizes[-1]
-                summ[6 + dim :] = sums[-1]
-            del d64
+                summ[2] = cur_cnt
+                summ[3] = inner_n
+                summ[4] = inner_s
+                summ[5] = inner_s2
+                summ[6 + dim :] = cur
         summaries[j] = summ
         wfull = np.full(T_local, -INF, dtype=F32)
         wfull[:L] = w

@@ -301,9 +301,13 @@ def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
         coeffs = maxlet_transform_pallas(data_dev)
     else:
         coeffs = maxlet_transform(data_dev)
-    # noise estimate (float32 pairwise reduction on device; the reference
-    # accumulates in double — the difference is far below MC noise)
-    noise = float(jnp.mean(coeffs[1::2])) / 0.7978845608028654
+    # noise estimate (float32 reduction on device; the reference accumulates
+    # in double — the difference is far below MC noise). The odd-position
+    # coefficients are read via a (T/2, 2) reshape-column reduction: the
+    # equivalent stride-2 slice `coeffs[1::2]` compiled for ~250 s on the
+    # remote-compile TPU tunnel at T=4M, the reshape form compiles in ms
+    pairs = coeffs[: (coeffs.shape[0] // 2) * 2].reshape(-1, 2)
+    noise = float(jnp.sum(pairs, axis=0)[1]) / pairs.shape[0] / 0.7978845608028654
     weights = breakpoint_weights(coeffs)
     if weight_multiplier != 1.0:
         weights = weights * jnp.float32(weight_multiplier)

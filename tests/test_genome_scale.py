@@ -1,26 +1,37 @@
 """Genome-scale bounded host memory, end to end and deterministic.
 
-Drives benchmarks/genome_scale.py twice per leg: the first child run warms
-the persistent compilation cache (/tmp/jax_cache), the second is the
-measured run — so the RSS assertion sees a deterministic warm-cache
-process instead of whatever compile arenas a cold cache happens to grow
-(the round-2 flat budget flaked exactly that way).
+Drives benchmarks/genome_scale.py in child processes. Each leg runs twice:
+the first child warms the persistent compilation cache (/tmp/jax_cache), the
+second is the measured run — so the RSS numbers come from deterministic
+warm-cache processes instead of whatever compile arenas a cold cache happens
+to grow.
 
-Budget model, measured on this harness (8-device CPU mesh, warm cache):
-peak RSS = 0.46 GB baseline + 49 B/position (counts 12 + prefix 8 + rank
-structure 8 + boundary byte = 29 inherent device bytes/position, the rest
-ingest/record transients; 16M -> 1.24 GB, 32M -> 2.02 GB). The guard uses
-0.8 GB + 55 B/position: at the default T = 32M the headroom is ~0.54 GB,
-so any sustained >= 17 B/position regression — e.g. one float64 monolith
-plus a single copy — trips it; a single BARE 8 B/position monolith is
-below the default headroom and is caught by the HAMMLET_BIG_T=250M
-validation run (2 GB signal vs ~1.8 GB headroom there, since the per-
-position slack is only 6 B).
+The guard is the RSS **slope** between a half-size and a full-size run, not
+an absolute budget: the absolute peak is dominated by a machine-dependent
+baseline (JAX runtime + XLA CPU arenas measured 0.46 GB on one harness and
+0.7-2.2 GB on another for identical code), which made every absolute budget
+either flaky or toothless. The slope cancels the baseline exactly and is
+what the bounded-memory claim is actually about:
 
-The CLI leg drives the real front door (bin/hammlet semantics via
-cli.main) on a gzipped value stream: ValueStream ranges stream from disk,
+  measured slope on two machines: 47.5-52.7 B/position (counts 12 +
+  prefix 8 + rank structure 8 + boundary byte = 29 inherent device
+  bytes/position, the rest ingest/record transients).
+
+The 60 B/position bound therefore catches any sustained >= ~10 B/position
+regression — e.g. one reintroduced float64 (T,) monolith plus a single copy
+(16 B/pos), or an O(T) host materialization in the streaming path. A single
+BARE 8 B/position monolith sits at the edge of the slope-noise band here and
+is caught by the HAMMLET_BIG_T=250M validation run, where the inherent slope
+is the same but the signal is 2 GB.
+
+A loose absolute ceiling (1.5 GB + 120 B/position) still guards against
+gross disasters (full-input materialization) without tripping on allocator
+baseline differences.
+
+The CLI leg drives the real front door (bin/hammlet semantics via cli.main)
+on a gzipped value stream: ValueStream ranges stream from disk;
 np.loadtxt-style full materialization (~10x the text size transient) would
-blow the same budget.
+blow the slope immediately.
 """
 
 import json
@@ -30,8 +41,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-BUDGET_BASE = 0.8e9
-BUDGET_PER_POS = 55
+SLOPE_BUDGET = 60  # bytes / position (measured 47.5-52.7 across machines)
+ABS_BASE = 1.5e9
+ABS_PER_POS = 120
 
 
 def _run(T, extra, timeout=3000):
@@ -50,27 +62,45 @@ def _run(T, extra, timeout=3000):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def _check(m, T):
-    budget = BUDGET_BASE + BUDGET_PER_POS * T
-    assert m["peak_rss_bytes"] < budget, (m["peak_rss_bytes"], budget)
+def _check_segments(m, T):
     # the planted segmentation (1000-position segments) was recovered and
     # compacted: the RLE store is ~T/1000 rows, not T
     assert 0.5 * T / 1000 <= m["marginal_segments"] <= 3 * T / 1000
 
 
+def _measure_pair(T, extra_for):
+    """extra_for(T) -> extra argv for that size."""
+    T_half = T // 2
+    _run(T_half, extra_for(T_half))  # warm the cache (half-size shapes)
+    _run(T, extra_for(T))  # warm (full-size shapes)
+    m1 = _run(T_half, extra_for(T_half))
+    m2 = _run(T, extra_for(T))
+    _check_segments(m1, T_half)
+    _check_segments(m2, T)
+    slope = (m2["peak_rss_bytes"] - m1["peak_rss_bytes"]) / (T - T_half)
+    assert slope < SLOPE_BUDGET, (
+        m1["peak_rss_bytes"], m2["peak_rss_bytes"], slope)
+    assert m2["peak_rss_bytes"] < ABS_BASE + ABS_PER_POS * T, (
+        m2["peak_rss_bytes"])
+
+
 def test_genome_scale_bounded_memory():
     T = int(os.environ.get("HAMMLET_BIG_T", 32_000_000))
-    _run(T, [])  # warm the compilation cache; RSS not asserted
-    _check(_run(T, []), T)
+    _measure_pair(T, lambda _t: [])
 
 
 def test_genome_scale_bounded_memory_cli(tmp_path):
     """The same bound through the CLI front door on a gzipped stream."""
     T = int(os.environ.get("HAMMLET_BIG_T_CLI", 4_000_000))
-    datafile = str(tmp_path / "genome.csv.gz")
     from benchmarks.genome_scale import write_datafile
 
-    write_datafile(datafile, T)
-    args = ["--mode", "cli", "--datafile", datafile]
-    _run(T, args)  # warm
-    _check(_run(T, args), T)
+    files = {}
+
+    def extra_for(t):
+        if t not in files:
+            path = str(tmp_path / f"genome_{t}.csv.gz")
+            write_datafile(path, t)
+            files[t] = path
+        return ["--mode", "cli", "--datafile", files[t]]
+
+    _measure_pair(T, extra_for)
