@@ -8,7 +8,10 @@ block iteration.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hammlet_tpu.ops.blocks import (
@@ -93,8 +96,19 @@ def autoprior(
     threshold sqrt(2 ln T) * sigma_noise, take per-(block, dim) means, feed
     their mean/variance into the closed form."""
     T = prefix.T
-    thr = jnp.float32(np.sqrt(2.0 * np.log(float(T))) * noise_std)
-    blocks = make_blocks(jnp.asarray(weights), thr, capacity)
+    thr = np.float32(np.sqrt(2.0 * np.log(float(T))) * noise_std)
+    mean, var = _block_mean_moments(
+        jnp.asarray(weights), prefix, thr, capacity, cell_bits
+    )
+    return nig_autoprior(s2, p, float(mean), float(var))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "cell_bits"))
+def _block_mean_moments(weights, prefix, thr, capacity, cell_bits):
+    """One compiled program for the device-side block-mean pass: eager
+    op-by-op dispatch here cost ~30 s on the remote-dispatch TPU tunnel
+    (each tiny op round-trips the tunnel), the jitted form runs in ms."""
+    blocks = make_blocks(weights, thr, capacity)
     stats = block_sufficient_stats(prefix, blocks, cell_bits)  # (B, dim, 2)
     sizes = blocks.sizes.astype(jnp.float32)
     valid = blocks.sizes > 0
@@ -104,4 +118,4 @@ def autoprior(
     n = jnp.sum(valid) * prefix.dim
     mean = jnp.sum(means) / n
     var = jnp.sum(means * means) / n - mean * mean
-    return nig_autoprior(s2, p, float(mean), float(var))
+    return mean, var

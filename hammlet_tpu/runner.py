@@ -278,6 +278,13 @@ def ingest(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
     )
 
 
+@jax.jit
+def _odd_coeff_mean(coeffs: jax.Array) -> jax.Array:
+    """Mean of the odd-position (finest-level) maxlet coefficients."""
+    pairs = coeffs[: (coeffs.shape[0] // 2) * 2].reshape(-1, 2)
+    return jnp.sum(pairs, axis=0)[1] / pairs.shape[0]
+
+
 def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
     """Device-side ingest: upload only the raw data (T*dim*4 bytes) and run
     the transform/sort/prefix construction on the accelerator. Essential on
@@ -302,12 +309,11 @@ def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
     else:
         coeffs = maxlet_transform(data_dev)
     # noise estimate (float32 reduction on device; the reference accumulates
-    # in double — the difference is far below MC noise). The odd-position
-    # coefficients are read via a (T/2, 2) reshape-column reduction: the
-    # equivalent stride-2 slice `coeffs[1::2]` compiled for ~250 s on the
-    # remote-compile TPU tunnel at T=4M, the reshape form compiles in ms
-    pairs = coeffs[: (coeffs.shape[0] // 2) * 2].reshape(-1, 2)
-    noise = float(jnp.sum(pairs, axis=0)[1]) / pairs.shape[0] / 0.7978845608028654
+    # in double — the difference is far below MC noise). One jitted program:
+    # eager dispatch of the same ops cost ~130 s on the remote-dispatch TPU
+    # tunnel, and a stride-2 slice form compiled for ~250 s; the jitted
+    # (T/2, 2) reshape-column reduction runs in ms
+    noise = float(_odd_coeff_mean(coeffs)) / 0.7978845608028654
     weights = breakpoint_weights(coeffs)
     if weight_multiplier != 1.0:
         weights = weights * jnp.float32(weight_multiplier)
