@@ -396,6 +396,19 @@ class Engine:
             )
         return self._cands[self.capacity]
 
+    def _candidates_host(self, capacity: int):
+        """Host copies of the candidate arrays for one capacity (downloaded
+        once per capacity change; lets the record drain reconstruct every
+        sweep's block sizes without shipping them from the device)."""
+        if not hasattr(self, "_cands_h"):
+            self._cands_h = {}
+        if capacity not in self._cands_h:
+            cand_pos, cand_rank = self._cands[capacity]
+            self._cands_h[capacity] = (
+                np.asarray(cand_pos), np.asarray(cand_rank)
+            )
+        return self._cands_h[capacity]
+
     # -- scheme ops -------------------------------------------------------
 
     def sample_prior(self) -> None:
@@ -452,6 +465,7 @@ class Engine:
         )
         done = start
         end = start + iterations
+        pending = None  # previous chunk's record payload, drained overlapped
         while done < end:
             # chunk selection: recording chunks are aligned to thinning
             # multiples so the compiled program can structurally separate
@@ -489,6 +503,13 @@ class Engine:
                     want_blocks=want_blocks and rec_s,
                     debug=debug_enabled(),
                 )
+                # the previous chunk's record drain runs HERE, between this
+                # chunk's async dispatch and its single host sync — the
+                # device-to-host fetches and CSV formatting overlap the
+                # device compute instead of stalling it
+                if pending is not None:
+                    self._drain_records(*pending)
+                    pending = None
                 # the chunk's single host sync: [max_nb, last_nb, err]
                 diag_h = np.asarray(diag)
                 raise_on_error(int(diag_h[2]))
@@ -502,31 +523,9 @@ class Engine:
                 # so recorded sweeps cannot double-record
                 self.buffers = prev if prev is not None else buffers
             if self.records is not None and rec_s:
-                # drain the per-recorded-sweep stacks once per chunk, only
-                # for enabled streams (each np.asarray is one host round-trip)
-                wants_comp = "compression" in self.records.enabled
-                wants_params = "parameters" in self.records.enabled
-                n_hits = n // max(thin_s, 1)
-                if wants_comp or wants_params or want_blocks:
-                    nbs_h = np.asarray(nbs)
-                    if want_blocks:
-                        # one native batch call formats the whole chunk's
-                        # CSV bytes (Python per-int formatting here cost
-                        # more than the TPU sweeps themselves)
-                        self.records.record_sweeps_batch(
-                            np.asarray(blk[0])[:n_hits],
-                            np.asarray(blk[1])[:n_hits],
-                            nbs_h[:n_hits],
-                            np.asarray(blk[2])[:n_hits],
-                        )
-                    elif wants_comp:
-                        for j in range(n_hits):
-                            self.records.record_compression(int(nbs_h[j]))
-                    if wants_params:
-                        means_h = np.asarray(means)
-                        varis_h = np.asarray(varis)
-                        for j in range(n_hits):
-                            self.records.record_theta(means_h[j], varis_h[j])
+                pending = (
+                    nbs, means, varis, blk, n // max(thin_s, 1), self.capacity
+                )
             done += n
             self.sweeps_completed += n
             self.scheme_op_done = done
@@ -538,6 +537,52 @@ class Engine:
             if target < self.capacity:
                 self.capacity = target
             self._maybe_checkpoint()
+        if pending is not None:
+            self._drain_records(*pending)
+
+    def _drain_records(self, nbs, means, varis, blk, n_hits, capacity) -> None:
+        """Drain one chunk's per-recorded-sweep stacks into the record
+        streams (only the enabled ones; each np.asarray is one host fetch).
+
+        Block SIZES never travel from the device: a sweep's boundary set is
+        exactly ``cand_pos[cand_rank < n_blocks]`` (make_blocks_bucketed),
+        and the candidate arrays are static per capacity — so the sizes are
+        reconstructed here from the per-sweep block count alone, and the
+        device ships only the (R, capacity) sampled states in the smallest
+        dtype that fits K. This cut the all-streams drain traffic ~8x on
+        the remote-dispatch tunnel."""
+        wants_comp = "compression" in self.records.enabled
+        wants_params = "parameters" in self.records.enabled
+        want_blocks = blk is not None
+        if not (wants_comp or wants_params or want_blocks):
+            return
+        nbs_h = np.asarray(nbs)
+        if want_blocks:
+            pos_h, rank_h = self._candidates_host(capacity)
+            states_h = np.asarray(blk[0])[:n_hits].astype(np.int32)
+            sizes_h = np.zeros((n_hits, capacity), dtype=np.int32)
+            T = self.ing.T
+            for j in range(n_hits):
+                nb = int(nbs_h[j])
+                starts = pos_h[:-1][rank_h < nb]
+                sizes_h[j, :nb] = np.diff(np.append(starts, T))
+            # one native batch call formats the whole chunk's CSV bytes
+            # (Python per-int formatting here cost more than the TPU
+            # sweeps themselves)
+            self.records.record_sweeps_batch(
+                states_h,
+                sizes_h,
+                nbs_h[:n_hits],
+                np.asarray(blk[1])[:n_hits],
+            )
+        elif wants_comp:
+            for j in range(n_hits):
+                self.records.record_compression(int(nbs_h[j]))
+        if wants_params:
+            means_h = np.asarray(means)
+            varis_h = np.asarray(varis)
+            for j in range(n_hits):
+                self.records.record_theta(means_h[j], varis_h[j])
 
     def _maybe_checkpoint(self) -> None:
         if not self.checkpoint_path or self.checkpoint_every <= 0:
@@ -620,6 +665,17 @@ def make_engine(
 ) -> Engine:
     """Build a ready-to-run engine with auto-priors (the only prior mode the
     reference implements, main.cpp:204-215)."""
+    import os
+    import sys
+
+    t0 = time.time()
+    trace = (
+        (lambda m: print(
+            f"[setup +{time.time() - t0:.1f}s] {m}", file=sys.stderr, flush=True
+        ))
+        if os.environ.get("HAMMLET_SETUP_TRACE")
+        else (lambda m: None)
+    )
     if device_ingest is None:
         device_ingest = np.asarray(data).size >= 2_000_000
     ing = (
@@ -627,6 +683,7 @@ def make_engine(
         if device_ingest
         else ingest(data, weight_multiplier)
     )
+    trace(f"ingest done (device={device_ingest})")
     spec = ModelSpec(nr_params, nr_data_dim, use_self_transitions)
     if ing.weights_host is not None:
         nig_row = autoprior_host(s2, p, data, ing.weights_host, ing.noise_std)
@@ -637,11 +694,12 @@ def make_engine(
             s2, p, ing.weights, ing.prefix, ing.noise_std, ap_cap,
             cell_bits=ing.cell_bits,
         )
+    trace("autoprior done")
     nig = np.tile(nig_row, (nr_params, 1))
     priors = HMMPriors.create(
         nig, spec.nr_states, trans, self_trans, initial_alpha
     )
-    return Engine(
+    eng = Engine(
         ing=ing,
         spec=spec,
         priors=priors,
@@ -649,3 +707,5 @@ def make_engine(
         records=records,
         capacity=capacity,
     )
+    trace(f"engine init done (capacity={eng.capacity})")
+    return eng

@@ -351,14 +351,22 @@ def gibbs_phase(
     Returns (model, buffers, prev, diag, rec_nbs, rec_means, rec_vars,
     blk): the rec_* stacks hold one row PER RECORDED SWEEP (n_iters rows
     when thinning == 0/1 or record is off — then they are the per-sweep
-    stacks); ``blk`` stacks (states, sizes, n_boundaries) per recorded
-    sweep when STATIC ``want_blocks``. ``prev`` is None when ``record`` is
-    static-False. Streams drain once per chunk instead of once per sweep
-    (the reference records per sweep, Records.hpp:155-235, but per-sweep
-    host transfers would dominate on a remote-dispatch link)."""
+    stacks); ``blk`` stacks (states, n_boundaries) per recorded sweep when
+    STATIC ``want_blocks`` — states travel in the smallest dtype that fits
+    K, and block SIZES are not shipped at all: the driver reconstructs them
+    exactly from the static candidate arrays and the per-sweep block count
+    (a sweep's boundary set is ``cand_pos[cand_rank < n_blocks]`` by
+    construction, make_blocks_bucketed), which cut the all-streams
+    device-to-host traffic ~8x on the remote tunnel. ``prev`` is None when
+    ``record`` is static-False. Streams drain once per chunk instead of
+    once per sweep (the reference records per sweep, Records.hpp:155-235,
+    but per-sweep host transfers would dominate on a remote-dispatch
+    link)."""
     mapping = jnp.asarray(np.asarray(mapping_tuple, dtype=np.int32))
     key = jax.random.fold_in(master_key, counter)
     prev = buffers if record else None
+    K = len(mapping_tuple)
+    state_dtype = jnp.int8 if K <= 127 else jnp.int16 if K <= 32767 else jnp.int32
 
     def body(rec: bool):
         def b(carry, i):
@@ -378,7 +386,8 @@ def gibbs_phase(
             )
             if rec and want_blocks:
                 ys = ys + (
-                    outputs.states, outputs.sizes, new_buffers.n_boundaries
+                    outputs.states.astype(state_dtype),
+                    new_buffers.n_boundaries,
                 )
             return (new_model, new_buffers), ys
 
