@@ -428,8 +428,13 @@ def build_sharded_phase(
     QUIET sweeps compiled without the recording scatters plus one
     RECORDING sweep (masked scatters pay full serialization cost on TPU;
     see gibbs_phase). With STATIC ``want_blocks`` the per-RECORDED-sweep
-    (states, sizes, n_boundaries) stacks feed the sequences/blocks/
-    segments streams, drained once per chunk."""
+    (states, n_boundaries) stacks feed the sequences/blocks/segments
+    streams, drained once per chunk — states travel in the smallest dtype
+    that fits K, and block sizes never travel at all: every shard's
+    boundary set is candpos_l[candrank_l < nb_l] with the last block ending
+    at the next shard's first boundary, so the driver reconstructs the
+    global sizes exactly from the per-(sweep, shard) block counts plus a
+    once-per-capacity host copy of the candidates."""
 
     def make(rec: bool):
         body = functools.partial(
@@ -487,7 +492,12 @@ def build_sharded_phase(
                 )
                 ys = (nb, model.theta_mean, model.theta_var, err)
                 if rec and want_blocks:
-                    ys = ys + (z, sizes, n_bound)
+                    K = mapping_np.shape[0]
+                    zdt = (
+                        jnp.int8 if K <= 127
+                        else jnp.int16 if K <= 32767 else jnp.int32
+                    )
+                    ys = ys + (z.astype(zdt), n_bound)
                 return (model, counts, everb, n_rec, n_bound), ys
 
             return s
@@ -655,25 +665,49 @@ def compact_sharded_marginals(engine) -> tuple[np.ndarray, np.ndarray]:
     return starts, seg_counts
 
 
-def _compact_block_rows(z_h: np.ndarray, s_h: np.ndarray, nbs_h: np.ndarray):
-    """Reassemble a chunk's per-shard block rows into global block order.
+def _reassemble_block_rows(
+    z_h: np.ndarray,
+    nbs_h: np.ndarray,
+    pos_h: np.ndarray,
+    rank_h: np.ndarray,
+    T: int,
+    T_local: int,
+):
+    """Reassemble a chunk's per-shard block rows into global block order,
+    reconstructing block sizes from the static candidate arrays.
 
-    z_h/s_h: (R, P*cap) fetched per-recorded-sweep stacks where shard j's
-    valid blocks occupy [j*cap, j*cap + nbs_h[r, j]); returns dense
-    (R, max_total) states/sizes plus the per-row totals, ready for
-    Records.record_sweeps_batch (one vectorized compaction for the whole
-    chunk instead of P concatenates per sweep)."""
+    z_h: (R, P*cap) per-recorded-sweep state stacks where shard j's valid
+    blocks occupy [j*cap, j*cap + nbs_h[r, j]); pos_h (P, cap+1) and
+    rank_h (P, cap) are the host copies of the per-shard candidates. A
+    sweep's shard-j boundary positions are pos_h[j][rank_h[j] < nb] +
+    j*T_local (ascending, mirroring the device compaction), and the global
+    sizes are the diffs of the concatenated starts with a final T sentinel
+    — which also merges blocks spanning shard edges exactly as the device
+    does (the last block of a shard ends at the next shard's first
+    boundary). Returns dense (R, max_total) states/sizes plus per-row
+    totals for Records.record_sweeps_batch."""
     R, P = nbs_h.shape
     cap = z_h.shape[1] // P
-    mask = (np.arange(cap)[None, None, :] < nbs_h[:, :, None]).reshape(R, -1)
+    z3 = z_h.reshape(R, P, cap)
     ns = nbs_h.sum(axis=1).astype(np.int64)
     maxn = int(ns.max()) if R else 0
     states = np.zeros((R, maxn), dtype=np.int32)
     sizes = np.zeros((R, maxn), dtype=np.int32)
-    tgt = mask.cumsum(axis=1) - 1
-    r_idx, f_idx = np.nonzero(mask)
-    states[r_idx, tgt[r_idx, f_idx]] = z_h[r_idx, f_idx]
-    sizes[r_idx, tgt[r_idx, f_idx]] = s_h[r_idx, f_idx]
+    for r_i in range(R):
+        parts_pos: list[np.ndarray] = []
+        parts_z: list[np.ndarray] = []
+        for j in range(P):
+            nb = int(nbs_h[r_i, j])
+            if nb:
+                sel = pos_h[j, :-1][rank_h[j] < nb].astype(np.int64)
+                parts_pos.append(sel + j * T_local)
+                parts_z.append(z3[r_i, j, :nb])
+        if not parts_pos:
+            continue
+        gstarts = np.concatenate(parts_pos)
+        n_r = int(ns[r_i])
+        states[r_i, :n_r] = np.concatenate(parts_z)
+        sizes[r_i, :n_r] = np.diff(np.append(gstarts, T))
     return states, sizes, ns
 
 
@@ -868,6 +902,7 @@ class ShardedEngine:
         )
         done = start
         end = start + iterations
+        pending = None  # previous chunk's record payload, drained overlapped
         while done < end:
             n, thin_s, rec_s = _next_chunk(
                 done, end, thinning if recording else 0, PHASE_CHUNK
@@ -898,6 +933,12 @@ class ShardedEngine:
                     np.bool_(self._dynamic),
                     np.float32(self._static_threshold),
                 )
+                # previous chunk's record drain runs between this chunk's
+                # async dispatch and its host sync: fetches + formatting
+                # overlap the device compute (mirrors runner.Engine)
+                if pending is not None:
+                    self._drain_records(*pending)
+                    pending = None
                 # the chunk's single host sync: [max_nb, last total, err]
                 diag_h = np.asarray(diag)
                 from hammlet_tpu.debug import raise_on_error
@@ -918,29 +959,10 @@ class ShardedEngine:
                 else:
                     self.counts, self.everb = counts, everb
             if self.records is not None and rec_s:
-                wants_comp = "compression" in self.records.enabled
-                wants_params = "parameters" in self.records.enabled
-                n_hits = n // max(thin_s, 1)
-                if wants_comp or wants_params or want_blocks:
-                    nbs_h = _replicated_fetch(self.mesh, nbs)  # (hits, P)
-                    if want_blocks:
-                        z_h = _replicated_fetch(self.mesh, blk[0])[:n_hits]
-                        s_h = _replicated_fetch(self.mesh, blk[1])[:n_hits]
-                        nbound_h = np.asarray(blk[2])[:n_hits]
-                        states, szs, ns_tot = _compact_block_rows(
-                            z_h, s_h, nbs_h[:n_hits]
-                        )
-                        self.records.record_sweeps_batch(
-                            states, szs, ns_tot, nbound_h
-                        )
-                    elif wants_comp:
-                        for t in nbs_h.sum(axis=1)[:n_hits]:
-                            self.records.record_compression(int(t))
-                    if wants_params:
-                        means_h = np.asarray(means)
-                        varis_h = np.asarray(varis)
-                        for j in range(n_hits):
-                            self.records.record_theta(means_h[j], varis_h[j])
+                pending = (
+                    nbs, means, varis, blk, n // max(thin_s, 1),
+                    self.cap_local,
+                )
             done += n
             self.sweeps_completed += n
             self.scheme_op_done = done
@@ -953,6 +975,56 @@ class ShardedEngine:
             if target < self.cap_local:
                 self.cap_local = target
             self._maybe_checkpoint()
+        if pending is not None:
+            self._drain_records(*pending)
+
+    def _shard_candidates_host(self, cap_local: int):
+        """Host copies of the per-shard candidate arrays for one capacity
+        (fetched once per capacity change; lets the record drain
+        reconstruct block sizes without shipping them from the devices)."""
+        if not hasattr(self, "_cands_h"):
+            self._cands_h = {}
+        if cap_local not in self._cands_h:
+            candpos, candrank = self._cands[cap_local]
+            pos = _replicated_fetch(self.mesh, candpos).reshape(
+                self.n_shards, cap_local + 1
+            )
+            rank = _replicated_fetch(self.mesh, candrank).reshape(
+                self.n_shards, cap_local
+            )
+            self._cands_h[cap_local] = (pos, rank)
+        return self._cands_h[cap_local]
+
+    def _drain_records(
+        self, nbs, means, varis, blk, n_hits, cap_local
+    ) -> None:
+        """Drain one chunk's record stacks (see _reassemble_block_rows for
+        the size-free block reconstruction)."""
+        wants_comp = "compression" in self.records.enabled
+        wants_params = "parameters" in self.records.enabled
+        want_blocks = blk is not None
+        if not (wants_comp or wants_params or want_blocks):
+            return
+        nbs_h = _replicated_fetch(self.mesh, nbs)  # (hits, P)
+        if want_blocks:
+            z_h = _replicated_fetch(self.mesh, blk[0])[:n_hits]
+            nbound_h = np.asarray(blk[1])[:n_hits]
+            pos_h, rank_h = self._shard_candidates_host(cap_local)
+            states, szs, ns_tot = _reassemble_block_rows(
+                z_h.astype(np.int32), nbs_h[:n_hits], pos_h, rank_h,
+                self.T, self.T_local,
+            )
+            self.records.record_sweeps_batch(
+                states, szs, ns_tot, nbound_h
+            )
+        elif wants_comp:
+            for t in nbs_h.sum(axis=1)[:n_hits]:
+                self.records.record_compression(int(t))
+        if wants_params:
+            means_h = np.asarray(means)
+            varis_h = np.asarray(varis)
+            for j in range(n_hits):
+                self.records.record_theta(means_h[j], varis_h[j])
 
     def _record_sharded_sweep(
         self, z_flat: np.ndarray, sizes_flat: np.ndarray,
