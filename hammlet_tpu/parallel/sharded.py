@@ -866,9 +866,54 @@ class ShardedEngine:
             )
         return self._sweeps[ck]
 
+    def _resize_capacity_for_phase(self) -> None:
+        """Re-size cap_local to the CURRENT threshold's worst-shard
+        boundary count at a phase boundary (both directions; mirrors
+        runner.Engine._resize_capacity_for_phase — without this, the first
+        F chunk after burn-in compiles at the stale near-T_local capacity
+        left by the post-prior sweeps)."""
+        thr = (
+            self._static_threshold
+            if not self._dynamic
+            else float(
+                np.sqrt(
+                    2.0
+                    * np.log(max(2.0, float(self.T)))
+                    * float(np.asarray(self.model.theta_var).min())
+                )
+            )
+        )
+        if not hasattr(self, "_nb_fn"):
+
+            def count(negw_l, t):  # per-shard (T_local,) under shard_map
+                return jnp.searchsorted(negw_l, -t, side="right").astype(
+                    jnp.int32
+                )[None]
+
+            specs = dict(
+                mesh=self.mesh,
+                in_specs=(P(POS_AXIS), P()),
+                out_specs=P(POS_AXIS),
+            )
+            try:
+                fn = shard_map(count, check_vma=False, **specs)
+            except TypeError:  # pragma: no cover
+                fn = shard_map(count, check_rep=False, **specs)
+            self._nb_fn = jax.jit(fn)
+        per_shard = _replicated_fetch(
+            self.mesh, self._nb_fn(self.negw, jnp.float32(thr))
+        )
+        nb = int(per_shard.max())
+        from hammlet_tpu.runner import _round_capacity
+
+        self.cap_local = min(
+            self.T_local, _round_capacity(nb + nb // 8 + 64)
+        )
+
     def run(self, method: str, iterations: int, thinning: int, start: int = 0):
         if iterations <= 0:
             return
+        self._resize_capacity_for_phase()
         t0 = time.time()
         self._run_phase_scanned(method, iterations, thinning, start)
         jax.block_until_ready(self.model.theta_mean)

@@ -421,6 +421,34 @@ class Engine:
     def set_dynamic(self) -> None:
         self._dynamic = True
 
+    def _resize_capacity_for_phase(self) -> None:
+        """Re-size the compiled block capacity to the CURRENT threshold's
+        boundary count at a phase boundary (both directions).
+
+        The mid-phase ladder only shrinks from measured chunk maxima, so a
+        phase entered right after burn-in would otherwise compile its first
+        chunk at the stale near-T capacity (the first post-prior sweeps
+        genuinely have ~T blocks) — at T=16M that compiled a ~13M-capacity
+        FB program which crashed the TPU worker outright. One O(log T)
+        searchsorted against the ranked weights prices the real capacity
+        before anything compiles; the overflow replay still grows it if a
+        later sweep's threshold drops."""
+        thr = (
+            self._static_threshold
+            if not self._dynamic
+            else float(
+                np.sqrt(
+                    2.0
+                    * np.log(max(2.0, float(self.ing.T)))
+                    * float(np.asarray(self.model.theta_var).min())
+                )
+            )
+        )
+        nb = self.ing.count_boundaries(thr)
+        self.capacity = min(
+            self.ing.T, _round_capacity(nb + nb // 8 + 64)
+        )
+
     def run(
         self, method: str, iterations: int, thinning: int, start: int = 0
     ) -> None:
@@ -434,6 +462,7 @@ class Engine:
         resume)."""
         if iterations <= 0:
             return
+        self._resize_capacity_for_phase()
         import contextlib
         import os
 
