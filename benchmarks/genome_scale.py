@@ -60,23 +60,28 @@ def write_datafile(path: str, T: int) -> None:
             fh.write("\n")
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--T", type=int, default=250_000_000)
-    ap.add_argument("--devices", type=int, default=None)
-    ap.add_argument("--scheme", default="M 6 0 F 10 2")
-    ap.add_argument("--outdir", default=None)
-    ap.add_argument("--mode", choices=["provider", "cli"], default="provider")
-    ap.add_argument("--datafile", default=None,
-                    help="cli mode: input value stream (use write_datafile)")
-    args = ap.parse_args()
+def _reset_peak_rss() -> bool:
+    """Reset the process's RSS high-water mark (Linux clear_refs)."""
+    try:
+        with open("/proc/self/clear_refs", "w") as fh:
+            fh.write("5")
+        return True
+    except OSError:  # pragma: no cover - non-Linux fallback
+        return False
 
-    from hammlet_tpu.runner import enable_compilation_cache
 
-    enable_compilation_cache()
-    outdir = args.outdir or tempfile.mkdtemp(prefix="hammlet-genome-")
+def _peak_rss_bytes() -> int:
+    try:
+        for line in open("/proc/self/status"):
+            if line.startswith("VmHWM:"):
+                return int(line.split()[1]) * 1024
+    except OSError:  # pragma: no cover - non-Linux fallback
+        pass
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
+
+def _run_workload(args, outdir: str) -> dict:
     t0 = time.time()
-
     if args.mode == "cli":
         import jax
 
@@ -90,42 +95,72 @@ def main() -> int:
              "-i", *args.scheme.split()]
         )
         if rc != 0:
-            return rc
-        t_total = time.time() - t0
-        metrics = {"devices": n_dev, "cli_s": round(t_total, 2)}
-    else:
-        from hammlet_tpu.io.records import Records
-        from hammlet_tpu.parallel import make_sharded_engine, position_mesh
+            raise SystemExit(rc)
+        return {"devices": n_dev, "cli_s": round(time.time() - t0, 2)}
 
-        rec = Records(
-            args.T, os.path.join(outdir, "g-"), ".csv", 3,
-            outputs={"marginals", "compression"}, overwrite=True,
-        )
-        eng = make_sharded_engine(
-            chunk, mesh=position_mesh(args.devices), T=args.T, dim=1,
-            nr_params=3, seed=0, records=rec,
-        )
-        t_ingest = time.time() - t0
-        eng.run_scheme(args.scheme.split())
-        t1 = time.time()
-        eng.finalize()
-        m = eng.metrics()
-        metrics = {
-            "devices": eng.n_shards,
-            "ingest_s": round(t_ingest, 2),
-            "sweeps_per_second": round(m["sweeps_per_second"], 2),
-            "positions_per_second": round(m["positions_per_second"], 0),
-            "finalize_s": round(time.time() - t1, 2),
-        }
+    from hammlet_tpu.io.records import Records
+    from hammlet_tpu.parallel import make_sharded_engine, position_mesh
+
+    rec = Records(
+        args.T, os.path.join(outdir, "g-"), ".csv", 3,
+        outputs={"marginals", "compression"}, overwrite=True,
+    )
+    eng = make_sharded_engine(
+        chunk, mesh=position_mesh(args.devices), T=args.T, dim=1,
+        nr_params=3, seed=0, records=rec,
+    )
+    t_ingest = time.time() - t0
+    eng.run_scheme(args.scheme.split())
+    t1 = time.time()
+    eng.finalize()
+    m = eng.metrics()
+    return {
+        "devices": eng.n_shards,
+        "ingest_s": round(t_ingest, 2),
+        "sweeps_per_second": round(m["sweeps_per_second"], 2),
+        "positions_per_second": round(m["positions_per_second"], 0),
+        "finalize_s": round(time.time() - t1, 2),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--T", type=int, default=250_000_000)
+    ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--scheme", default="M 6 0 F 10 2")
+    ap.add_argument("--outdir", default=None)
+    ap.add_argument("--mode", choices=["provider", "cli"], default="provider")
+    ap.add_argument("--datafile", default=None,
+                    help="cli mode: input value stream (use write_datafile)")
+    ap.add_argument("--self-warm", action="store_true",
+                    help="run the workload twice in-process and report the "
+                    "RSS high-water mark of the SECOND pass only (reset via "
+                    "/proc/self/clear_refs): first-pass compile arenas and "
+                    "cold-cache noise cannot inflate the measurement")
+    args = ap.parse_args()
+
+    from hammlet_tpu.runner import enable_compilation_cache
+
+    enable_compilation_cache()
+    outdir = args.outdir or tempfile.mkdtemp(prefix="hammlet-genome-")
+
+    warmed = False
+    if args.self_warm:
+        _run_workload(args, outdir)
+        import gc
+
+        gc.collect()
+        warmed = _reset_peak_rss()
+    metrics = _run_workload(args, outdir)
 
     n_seg = sum(1 for _ in open(os.path.join(outdir, "g-marginals.csv")))
-    peak_rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
     print(json.dumps({
         "T": args.T,
         "mode": args.mode,
         **metrics,
         "marginal_segments": n_seg,
-        "peak_rss_bytes": peak_rss,
+        "peak_rss_bytes": _peak_rss_bytes(),
+        "self_warmed": warmed,
         "outdir": outdir,
     }))
     return 0

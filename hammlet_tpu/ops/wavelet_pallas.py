@@ -38,11 +38,15 @@ def _roll_right(x: jax.Array, shift: int) -> jax.Array:
     return pltpu.roll(x, shift, axis=1)
 
 
-def _maxlet_chunk_kernel(data_ref, coeffs_ref, *, chunk: int, dim: int):
-    """One chunk: all detail coefficients at levels 1..CHUNK_BITS.
+def _maxlet_chunk_kernel(data_ref, coeffs_ref, totals_ref, *, chunk: int, dim: int):
+    """One chunk: all detail coefficients at levels 1..CHUNK_BITS, plus the
+    chunk's per-dim total sum (the level-CHUNK_BITS node value — needed by
+    the cross-chunk levels, and already present in the recursion's last
+    sums, so emitting it here saves a second padded pass over the data).
 
     data_ref:   (dim, chunk) VMEM (position axis on lanes)
     coeffs_ref: (chunk,) VMEM out
+    totals_ref: (1, 1, dim) VMEM out
 
     Invariant per level l: sums_d[0, t] for t ≡ 0 (mod 2^(l-1)) holds the
     subtree sum of the level-(l-1) node starting at t (other lanes hold
@@ -74,6 +78,11 @@ def _maxlet_chunk_kernel(data_ref, coeffs_ref, *, chunk: int, dim: int):
         sums = new_sums
 
     coeffs_ref[:] = coeffs.reshape(chunk)
+    # vector store (Mosaic rejects scalar VMEM stores): lane-0 slice of each
+    # dim's final sums, concatenated on lanes
+    totals_ref[:] = jnp.concatenate(
+        [sums[d][:, 0:1] for d in range(dim)], axis=1
+    ).reshape(1, 1, dim)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -89,27 +98,34 @@ def maxlet_transform_pallas(data: jax.Array, interpret: bool = False) -> jax.Arr
     chunk = 1 << CHUNK_BITS
     n_chunks = -(-T // chunk)
     Tp = n_chunks * chunk
-    data_p = jnp.pad(data.astype(jnp.float32), ((0, Tp - T), (0, 0)))
-    data_t = data_p.T  # (dim, Tp): position axis on lanes
+    # layout rule: keep the LONG axis minor. The previous implementation
+    # recomputed the chunk totals from (n_chunks, h, 2, dim)-shaped level
+    # arrays whose tiny trailing dims tile-pad ~64-512x on TPU — at T=64M
+    # the compile wanted 30.5 GB of HBM. The kernel already holds each
+    # chunk's total in its last-level sums, so it emits them directly.
+    data_t = jnp.pad(
+        jnp.transpose(data.astype(jnp.float32)), ((0, 0), (0, Tp - T))
+    )  # (dim, Tp): position axis on lanes
 
-    coeffs = pl.pallas_call(
+    coeffs, totals3 = pl.pallas_call(
         functools.partial(_maxlet_chunk_kernel, chunk=chunk, dim=dim),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((dim, chunk), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp,), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp,), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, 1, dim), jnp.float32),
+        ],
         interpret=interpret,
     )(data_t)
-
-    # chunk totals in the same pairwise-dyadic float32 order (tiny arrays)
-    totals = data_p.reshape(n_chunks, chunk, dim)
-    while totals.shape[1] > 1:
-        h = totals.shape[1] // 2
-        pairs = totals.reshape(n_chunks, h, 2, dim)
-        totals = pairs[:, :, 0] + pairs[:, :, 1]
-    totals = totals[:, 0]  # (n_chunks, dim)
+    totals = totals3.reshape(n_chunks, dim)
 
     # cross-chunk levels: run the level-wise pass on the chunk totals; node a
     # at total-level m corresponds to data level m + CHUNK_BITS and writes at

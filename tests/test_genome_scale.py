@@ -1,10 +1,11 @@
 """Genome-scale bounded host memory, end to end and deterministic.
 
-Drives benchmarks/genome_scale.py in child processes. Each leg runs twice:
-the first child warms the persistent compilation cache (/tmp/jax_cache), the
-second is the measured run — so the RSS numbers come from deterministic
-warm-cache processes instead of whatever compile arenas a cold cache happens
-to grow.
+Drives benchmarks/genome_scale.py in child processes. Each child SELF-WARMS
+(--self-warm): it runs the workload once, resets the RSS high-water mark
+(/proc/self/clear_refs), runs it again and reports only the second pass's
+peak — so compile arenas and cold-cache noise physically cannot appear in
+the measurement (the earlier separate-warm-child design still flaked when
+sub-second compiles, which the persistent cache never stores, piled up).
 
 The guard is the RSS **slope** between a half-size and a full-size run, not
 an absolute budget: the absolute peak is dominated by a machine-dependent
@@ -55,11 +56,17 @@ def _run(T, extra, timeout=3000):
     }
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks", "genome_scale.py"),
-         "--T", str(T), "--devices", "8", "--scheme", "M 4 0 F 6 2", *extra],
+         "--T", str(T), "--devices", "8", "--scheme", "M 4 0 F 6 2",
+         "--self-warm", *extra],
         env=env, capture_output=True, text=True, timeout=timeout,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    # the measurement is only deterministic when the in-process warm pass +
+    # high-water-mark reset worked (Linux); without it compile arenas from
+    # a cold cache inflate the peak by hundreds of MB
+    assert m["self_warmed"], "clear_refs unavailable; RSS guard unsupported"
+    return m
 
 
 def _check_segments(m, T):
@@ -69,10 +76,9 @@ def _check_segments(m, T):
 
 
 def _measure_pair(T, extra_for):
-    """extra_for(T) -> extra argv for that size."""
+    """extra_for(T) -> extra argv for that size. Each child self-warms
+    in-process (--self-warm) so one child per size suffices."""
     T_half = T // 2
-    _run(T_half, extra_for(T_half))  # warm the cache (half-size shapes)
-    _run(T, extra_for(T))  # warm (full-size shapes)
     m1 = _run(T_half, extra_for(T_half))
     m2 = _run(T, extra_for(T))
     _check_segments(m1, T_half)
