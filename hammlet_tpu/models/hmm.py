@@ -77,10 +77,30 @@ class HMMState(NamedTuple):
 
     def threshold(self, T: int) -> jax.Array:
         """Compression threshold sqrt(2 ln T * min variance)
-        (BreakpointArray.hpp:196-199, Theta.hpp:227-244)."""
+        (BreakpointArray.hpp:196-199, Theta.hpp:227-244). Host callers use
+        ``threshold_host`` below — the two must stay in lockstep (pinned by
+        tests/test_samplers.py::test_threshold_host_matches_device)."""
         return jnp.sqrt(
             2.0 * jnp.log(jnp.float32(T)) * jnp.min(self.theta_var)
         ).astype(jnp.float32)
+
+
+def threshold_host(theta_var, T: int) -> float:
+    """Host-side compression threshold — the same formula as
+    HMMState.threshold, evaluated in float64 numpy without a device round
+    trip (eager device dispatch costs a full tunnel round trip on
+    remote-dispatch TPU links). Single shared implementation for the
+    engines' capacity sizing (runner/sharded previously each re-derived
+    it inline)."""
+    with np.errstate(invalid="ignore"):  # poisoned models produce NaN, the
+        # debug error-bit path reports them; don't warn here as well
+        return float(
+            np.sqrt(
+                2.0
+                * np.log(max(2.0, float(T)))
+                * float(np.asarray(theta_var).min())
+            )
+        )
 
 
 @jax.jit

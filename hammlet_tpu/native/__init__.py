@@ -102,6 +102,22 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.hammlet_format_rle_lines.restype = ctypes.c_int64
+    lib.hammlet_reassemble_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.hammlet_reassemble_blocks.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -149,6 +165,44 @@ def format_rle_lines(
     if n < 0:
         return None
     return buf.raw[:n], nsegs
+
+
+def reassemble_blocks(
+    z: np.ndarray,
+    nbs: np.ndarray,
+    pos: np.ndarray,
+    rank: np.ndarray,
+    T: int,
+    T_local: int,
+):
+    """Batch drain reconstruction: (R, P, cap) per-shard states + (R, P)
+    block counts + static per-shard candidates -> dense (R, maxn)
+    states/sizes in global block order plus per-row totals (see
+    native/ingest.cpp:hammlet_reassemble_blocks). None if the library is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    z = np.ascontiguousarray(z, dtype=np.int32)
+    nbs = np.ascontiguousarray(nbs, dtype=np.int64)
+    pos = np.ascontiguousarray(pos, dtype=np.int32)
+    rank = np.ascontiguousarray(rank, dtype=np.int32)
+    R, P, cap = z.shape
+    ns = np.zeros(R, dtype=np.int64)
+    ns_tot = nbs.sum(axis=1)
+    maxn = int(ns_tot.max()) if R else 0
+    states = np.zeros((R, max(maxn, 1)), dtype=np.int32)
+    sizes = np.zeros((R, max(maxn, 1)), dtype=np.int32)
+    if maxn == 0:
+        return states[:, :0], sizes[:, :0], ns
+    rc = lib.hammlet_reassemble_blocks(
+        _i32(z), _i64(nbs), _i32(pos), _i32(rank),
+        R, P, cap, T, T_local, maxn,
+        _i32(states), _i32(sizes), _i64(ns),
+    )
+    if rc != 0:
+        return None
+    return states, sizes, ns
 
 
 def available() -> bool:

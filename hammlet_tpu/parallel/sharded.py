@@ -685,22 +685,40 @@ def _reassemble_block_rows(
     — which also merges blocks spanning shard edges exactly as the device
     does (the last block of a shard ends at the next shard's first
     boundary). Returns dense (R, max_total) states/sizes plus per-row
-    totals for Records.record_sweeps_batch."""
+    totals for Records.record_sweeps_batch.
+
+    The reconstruction runs in the native batch routine when the C++
+    library is built (native/ingest.cpp:hammlet_reassemble_blocks — the
+    per-(sweep, shard) Python selection loop was the all-streams drain
+    bottleneck at pod scale); the NumPy fallback caches the candidate
+    selection per (shard, nb) since block counts repeat across sweeps
+    once the threshold settles."""
+    from hammlet_tpu import native
+
     R, P = nbs_h.shape
     cap = z_h.shape[1] // P
     z3 = z_h.reshape(R, P, cap)
+    res = native.reassemble_blocks(z3, nbs_h, pos_h, rank_h, T, T_local)
+    if res is not None:
+        return res
     ns = nbs_h.sum(axis=1).astype(np.int64)
     maxn = int(ns.max()) if R else 0
     states = np.zeros((R, maxn), dtype=np.int32)
     sizes = np.zeros((R, maxn), dtype=np.int32)
+    sel_cache: dict[tuple[int, int], np.ndarray] = {}
     for r_i in range(R):
         parts_pos: list[np.ndarray] = []
         parts_z: list[np.ndarray] = []
         for j in range(P):
             nb = int(nbs_h[r_i, j])
             if nb:
-                sel = pos_h[j, :-1][rank_h[j] < nb].astype(np.int64)
-                parts_pos.append(sel + j * T_local)
+                key = (j, nb)
+                if key not in sel_cache:
+                    sel_cache[key] = (
+                        pos_h[j, :-1][rank_h[j] < nb].astype(np.int64)
+                        + j * T_local
+                    )
+                parts_pos.append(sel_cache[key])
                 parts_z.append(z3[r_i, j, :nb])
         if not parts_pos:
             continue
@@ -872,16 +890,12 @@ class ShardedEngine:
         runner.Engine._resize_capacity_for_phase — without this, the first
         F chunk after burn-in compiles at the stale near-T_local capacity
         left by the post-prior sweeps)."""
+        from hammlet_tpu.models.hmm import threshold_host
+
         thr = (
             self._static_threshold
             if not self._dynamic
-            else float(
-                np.sqrt(
-                    2.0
-                    * np.log(max(2.0, float(self.T)))
-                    * float(np.asarray(self.model.theta_var).min())
-                )
-            )
+            else threshold_host(self.model.theta_var, self.T)
         )
         if not hasattr(self, "_nb_fn"):
 
@@ -920,17 +934,25 @@ class ShardedEngine:
         self.sample_time += time.time() - t0
         self.total_sweeps += iterations
 
-    def _maybe_checkpoint(self):
+    def _maybe_checkpoint(self, pending=None):
+        """Checkpoint when due, draining any pending record payload first
+        (mirrors runner.Engine._maybe_checkpoint: a checkpoint must not
+        count sweeps whose stream lines are still undrained). Returns the
+        (possibly consumed) pending payload."""
         if not self.checkpoint_path or self.checkpoint_every <= 0:
-            return
+            return pending
         if (
             self.sweeps_completed - getattr(self, "_last_ckpt", 0)
             >= self.checkpoint_every
         ):
             from hammlet_tpu.checkpoint import save_sharded_checkpoint
 
+            if pending is not None:
+                self._drain_records(*pending)
+                pending = None
             save_sharded_checkpoint(self, self.checkpoint_path)
             self._last_ckpt = self.sweeps_completed
+        return pending
 
     def _run_phase_scanned(
         self, method: str, iterations: int, thinning: int, start: int = 0
@@ -1019,7 +1041,7 @@ class ShardedEngine:
             )
             if target < self.cap_local:
                 self.cap_local = target
-            self._maybe_checkpoint()
+            pending = self._maybe_checkpoint(pending)
         if pending is not None:
             self._drain_records(*pending)
 

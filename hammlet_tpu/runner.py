@@ -28,6 +28,7 @@ from hammlet_tpu.models.hmm import (
     HMMState,
     ModelSpec,
     sample_from_priors,
+    threshold_host,
 )
 from hammlet_tpu.ops.blocks import (
     DEVICE_CELL_BITS,
@@ -371,14 +372,9 @@ class Engine:
         self._static_threshold = 0.0  # host float: passed per chunk
         if self.capacity is None:
             # size for the prior-threshold block structure with headroom
-            thr = float(
-                np.sqrt(
-                    2.0
-                    * np.log(max(2.0, float(self.ing.T)))
-                    * float(np.asarray(self.model.theta_var).min())
-                )
+            nb = self.ing.count_boundaries(
+                threshold_host(self.model.theta_var, self.ing.T)
             )
-            nb = self.ing.count_boundaries(thr)
             self.capacity = min(self.ing.T, _round_capacity(2 * nb + 64))
 
     def _next_key(self) -> jax.Array:
@@ -436,13 +432,7 @@ class Engine:
         thr = (
             self._static_threshold
             if not self._dynamic
-            else float(
-                np.sqrt(
-                    2.0
-                    * np.log(max(2.0, float(self.ing.T)))
-                    * float(np.asarray(self.model.theta_var).min())
-                )
-            )
+            else threshold_host(self.model.theta_var, self.ing.T)
         )
         nb = self.ing.count_boundaries(thr)
         self.capacity = min(
@@ -565,7 +555,7 @@ class Engine:
             target = min(self.ing.T, _round_capacity(max_nb + max_nb // 8 + 64))
             if target < self.capacity:
                 self.capacity = target
-            self._maybe_checkpoint()
+            pending = self._maybe_checkpoint(pending)
         if pending is not None:
             self._drain_records(*pending)
 
@@ -587,21 +577,29 @@ class Engine:
             return
         nbs_h = np.asarray(nbs)
         if want_blocks:
+            from hammlet_tpu.parallel.sharded import _reassemble_block_rows
+
             pos_h, rank_h = self._candidates_host(capacity)
             states_h = np.asarray(blk[0])[:n_hits].astype(np.int32)
-            sizes_h = np.zeros((n_hits, capacity), dtype=np.int32)
-            T = self.ing.T
-            for j in range(n_hits):
-                nb = int(nbs_h[j])
-                starts = pos_h[:-1][rank_h < nb]
-                sizes_h[j, :nb] = np.diff(np.append(starts, T))
+            # size reconstruction + compaction in the shared batch routine
+            # (native when built) — the P = 1, T_local = T case of the
+            # sharded drain; the per-sweep NumPy mask loop this replaces
+            # rebuilt an O(capacity) selection per recorded sweep
+            states_d, sizes_d, ns_tot = _reassemble_block_rows(
+                states_h,
+                nbs_h[:n_hits, None].astype(np.int64),
+                pos_h[None, :],
+                rank_h[None, :],
+                self.ing.T,
+                self.ing.T,
+            )
             # one native batch call formats the whole chunk's CSV bytes
             # (Python per-int formatting here cost more than the TPU
             # sweeps themselves)
             self.records.record_sweeps_batch(
-                states_h,
-                sizes_h,
-                nbs_h[:n_hits],
+                states_d,
+                sizes_d,
+                ns_tot,
                 np.asarray(blk[1])[:n_hits],
             )
         elif wants_comp:
@@ -613,14 +611,24 @@ class Engine:
             for j in range(n_hits):
                 self.records.record_theta(means_h[j], varis_h[j])
 
-    def _maybe_checkpoint(self) -> None:
+    def _maybe_checkpoint(self, pending=None):
+        """Checkpoint when due. A due checkpoint first drains the previous
+        chunk's pending record payload: the checkpoint counts those sweeps
+        as completed, so leaving their stream lines undrained would lose
+        them permanently if the process dies right after the save (the
+        drain-deferral overlap is kept for every non-checkpoint chunk).
+        Returns the (possibly consumed) pending payload."""
         if not self.checkpoint_path or self.checkpoint_every <= 0:
-            return
+            return pending
         if self.sweeps_completed - getattr(self, "_last_ckpt", 0) >= self.checkpoint_every:
             from hammlet_tpu.checkpoint import save_checkpoint
 
+            if pending is not None:
+                self._drain_records(*pending)
+                pending = None
             save_checkpoint(self, self.checkpoint_path)
             self._last_ckpt = self.sweeps_completed
+        return pending
 
     def run_scheme(self, tokens: list[str]) -> None:
         run_scheme_resumable(self, tokens)

@@ -254,6 +254,63 @@ int64_t hammlet_format_rle_lines(const int32_t* states, const int32_t* sizes,
     return p - out;
 }
 
+// Reassemble per-(sweep, shard) block rows into global block order,
+// reconstructing block sizes from the static candidate arrays (the batch
+// form of the drain reconstruction: a sweep's shard-j boundary positions
+// are pos[j][i] + j*T_local for every i with rank[j][i] < nb, ascending,
+// and the global sizes are the diffs of the concatenated starts with a
+// final T sentinel — which merges blocks spanning shard edges exactly as
+// the device does). The single-device drain is the P = 1, T_local = T
+// case.
+//
+// z: (R, P, cap) int32 per-shard states, valid in slots [0, nbs[r][j]);
+// nbs: (R, P) int64; pos: (P, cap+1) int32 ascending local candidate
+// positions (sentinel last); rank: (P, cap) int32 weight rank per
+// candidate. Outputs: states/sizes (R, maxn) int32 zero-padded, ns (R,)
+// int64 row totals. Positions are widened to int64 internally so
+// multi-Gbp global coordinates cannot wrap. Returns 0, or -1 if a row
+// exceeds maxn.
+int hammlet_reassemble_blocks(const int32_t* z, const int64_t* nbs,
+                              const int32_t* pos, const int32_t* rank,
+                              int64_t R, int64_t P, int64_t cap, int64_t T,
+                              int64_t T_local, int64_t maxn, int32_t* states,
+                              int32_t* sizes, int64_t* ns) {
+    std::vector<int64_t> starts((size_t)maxn);
+    for (int64_t r = 0; r < R; ++r) {
+        int32_t* st_out = states + r * maxn;
+        int32_t* sz_out = sizes + r * maxn;
+        int64_t n = 0;
+        for (int64_t j = 0; j < P; ++j) {
+            int64_t nb = nbs[r * P + j];
+            if (nb <= 0) continue;
+            const int32_t* zrow = z + (r * P + j) * cap;
+            const int32_t* prow = pos + j * (cap + 1);
+            const int32_t* rrow = rank + j * cap;
+            const int64_t base = j * T_local;
+            int64_t taken = 0;
+            for (int64_t i = 0; i < cap && taken < nb; ++i) {
+                if (rrow[i] < nb) {
+                    if (n >= maxn) return -1;
+                    starts[n] = base + prow[i];
+                    st_out[n] = zrow[taken];
+                    ++n;
+                    ++taken;
+                }
+            }
+        }
+        ns[r] = n;
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t end = (i + 1 < n) ? starts[i + 1] : T;
+            sz_out[i] = (int32_t)(end - starts[i]);
+        }
+        for (int64_t i = n; i < maxn; ++i) {
+            st_out[i] = 0;
+            sz_out[i] = 0;
+        }
+    }
+    return 0;
+}
+
 // Count whitespace-separated tokens in a (possibly gzipped) file without
 // materializing anything. Returns -1 on error.
 int64_t hammlet_count_values(const char* path) {

@@ -47,7 +47,14 @@ ABS_BASE = 1.5e9
 ABS_PER_POS = 120
 
 
-def _run(T, extra, timeout=3000):
+def _run(T, extra, timeout=None):
+    # each child runs the workload twice (--self-warm) and a pair of
+    # children runs per size, so the per-child budget must scale with T or
+    # the HAMMLET_BIG_T=250M validation leg can die on timeout instead of
+    # on the RSS assertions (2-core hosts measure ~0.1-0.3 ms/position for
+    # the two passes; 25 us/position keeps 3-5x slack)
+    if timeout is None:
+        timeout = 3000 + T // 40_000
     env = {
         **os.environ,
         "PYTHONPATH": REPO,

@@ -235,3 +235,21 @@ def test_beta_geometric_family():
         rtol=1e-6,
     )
     assert abs(float(beta_threshold_value(jnp.array([0.5, 0.25]))) - 2.0) < 1e-6
+
+
+def test_threshold_host_matches_device():
+    """threshold_host is the engines' capacity-sizing mirror of the device
+    HMMState.threshold; the two formulas must stay in lockstep (they were
+    previously duplicated inline in runner/sharded, ADVICE r3)."""
+    from hammlet_tpu.models.hmm import HMMState, threshold_host
+
+    for T, var in [(100, [0.3, 1.7, 0.9]), (4_000_000, [2.5]), (7, [1e-6, 4.0])]:
+        m = HMMState(
+            theta_mean=jnp.zeros(len(var)),
+            theta_var=jnp.asarray(var, jnp.float32),
+            A=jnp.eye(2),
+            pi=jnp.ones(2) / 2,
+        )
+        dev = float(m.threshold(T))
+        host = threshold_host(np.asarray(var, np.float32), T)
+        assert abs(dev - host) <= 1e-6 * max(dev, 1.0), (T, var, dev, host)
