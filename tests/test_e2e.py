@@ -172,31 +172,92 @@ def test_cli_sharded_with_checkpoint(tmp_path):
 
 
 def test_format_parity_with_reference(tmp_path, ref_binary):
-    """Run the compiled reference and our CLI on the same data and compare
-    output file shapes and marginal row invariants."""
+    """Run the compiled reference and our CLI on the same data with every
+    stream enabled and check the full token grammar + structural
+    invariants of each stream on BOTH outputs (Records.hpp:155-235,
+    StateMarginals.hpp:268-310). Statistical content is test_parity_stat's
+    job; this test must fail on any format change."""
+    import re
+
     data, true_states, _ = synth_data(T=2500, seed=5)
+    T = len(data)
     fn = tmp_path / "d.csv"
     np.savetxt(fn, data)
+    streams = ["marginals", "sequences", "blocks", "compression",
+               "parameters", "segments"]
+    n_rec = 10  # F 30 thin 3
 
     subprocess.run(
         [ref_binary, "-f", str(fn), "-s", "3", "-a", "-R", "1",
          "-o", str(tmp_path / "ref-"), ".csv",
-         "-i", "M", "30", "0", "F", "30", "3", "-O", "marginals", "-w"],
+         "-i", "M", "30", "0", "F", "30", "3", "-O", *streams, "-w"],
         check=True, capture_output=True,
     )
     rc = cli_main(
         ["-f", str(fn), "-s", "3", "-a", "-R", "1",
          "-o", str(tmp_path / "tpu-"), ".csv",
-         "-i", "M", "30", "0", "F", "30", "3", "-O", "marginals", "-w"]
+         "-i", "M", "30", "0", "F", "30", "3", "-O", *streams, "-w"]
     )
     assert rc == 0
+
+    seq_re = re.compile(r"^\d+:\d+(\t\d+:\d+)*$")
+    for who in ("ref", "tpu"):
+        read = lambda s: (tmp_path / f"{who}-{s}.csv").read_text().splitlines()
+
+        # sequences: one line per recorded sweep of SIZE:STATE tokens,
+        # merged runs (adjacent states differ), sizes summing to T
+        seq_lines = read("sequences")
+        assert len(seq_lines) == n_rec, who
+        seq_bounds = []
+        for line in seq_lines:
+            assert seq_re.match(line), (who, line[:80])
+            toks = [tuple(map(int, t.split(":"))) for t in line.split("\t")]
+            assert sum(n for n, _ in toks) == T, who
+            assert all(a[1] != b[1] for a, b in zip(toks, toks[1:])), who
+            seq_bounds.append(np.cumsum([n for n, _ in toks])[:-1])
+
+        # blocks: one line per recorded sweep of tab-separated sizes
+        # summing to T; compression: T / #blocks of the same sweep (the
+        # reference prints it with default ostream %.6g precision)
+        blk_lines = read("blocks")
+        comp_lines = read("compression")
+        assert len(blk_lines) == len(comp_lines) == n_rec, who
+        for bl, cl in zip(blk_lines, comp_lines):
+            sizes = list(map(int, bl.split("\t")))
+            assert sum(sizes) == T and all(s > 0 for s in sizes), who
+            assert float(cl) == float(f"{T / len(sizes):.6g}"), (who, cl)
+
+        # parameters: (mean, var) per emission distribution, 6 decimals
+        par_lines = read("parameters")
+        assert len(par_lines) == n_rec, who
+        for line in par_lines:
+            fields = line.split("\t")
+            assert len(fields) == 6, who
+            assert all(re.match(r"^-?\d+\.\d{6}$", f) for f in fields), who
+
+        # segments: nseg and store size per recorded sweep
+        seg_lines = read("segments")
+        assert len(seg_lines) == n_rec, who
+        for line in seg_lines:
+            nseg, internal = map(int, line.split("\t"))
+            assert 0 < nseg <= T and internal >= nseg, who
+
+        # marginals: the refinement partition of all recorded sweeps'
+        # segmentations — every recorded sequence boundary must be a
+        # marginals row boundary, rows sum to T positions and n_rec counts
+        rows = [list(map(int, l.split("\t"))) for l in read("marginals")]
+        assert sum(r[0] for r in rows) == T, who
+        assert all(sum(r[1:]) == n_rec for r in rows), who
+        marg_bounds = set(np.cumsum([r[0] for r in rows])[:-1].tolist())
+        for bounds in seq_bounds:
+            missing = set(bounds.tolist()) - marg_bounds
+            assert not missing, (who, sorted(missing)[:5])
 
     def read_marginals(path):
         rows = [
             list(map(int, line.split("\t")))
             for line in open(path).read().splitlines()
         ]
-        T = sum(r[0] for r in rows)
         K = max(len(r) - 1 for r in rows)
         pos = np.zeros((T, K), dtype=float)
         t = 0
@@ -207,10 +268,58 @@ def test_format_parity_with_reference(tmp_path, ref_binary):
 
     ref = read_marginals(tmp_path / "ref-marginals.csv")
     tpu = read_marginals(tmp_path / "tpu-marginals.csv")
-    # format invariants only — the statistical claim (TV distance within the
-    # reference's own MC-error envelope) lives in tests/test_parity_stat.py
-    assert ref.shape[0] == tpu.shape[0]
-    assert ref.shape[1] == tpu.shape[1]
+    assert ref.shape == tpu.shape
+
+
+def test_record_stream_bytes_golden(tmp_path):
+    """Hand-built golden case for the per-sweep stream writers: exact CSV
+    bytes per the reference grammar (Records.hpp:155-235 — sequences merge
+    adjacent equal-state blocks into tab-joined SIZE:STATE tokens; blocks
+    are tab-joined sizes; compression is T/#blocks at %.6g), and the
+    native batch formatters must be byte-identical to the Python
+    fallback."""
+    from hammlet_tpu.io.records import Records
+    from hammlet_tpu import native
+
+    T = 20
+    states = np.array([[0, 0, 1, 2, 2, 0], [1, 1, 1, 1, 1, 0]], np.int32)
+    sizes = np.array([[5, 3, 2, 4, 6, 0], [2, 2, 2, 2, 12, 0]], np.int32)
+    ns = np.array([5, 5], np.int64)
+    n_bounds = np.array([2, 2], np.int64)
+
+    def write(prefix):
+        rec = Records(
+            T, str(tmp_path / prefix), ".csv", 3,
+            outputs={"sequences", "blocks", "compression", "segments"},
+            overwrite=True,
+        )
+        rec.record_sweeps_batch(states, sizes, ns, n_bounds)
+        rec.close()
+
+    write("g-")
+    assert (tmp_path / "g-sequences.csv").read_text() == (
+        "8:0\t2:1\t10:2\n2:1\t2:1\t2:1\t2:1\t12:1\n".replace(
+            "2:1\t2:1\t2:1\t2:1\t12:1", "20:1"
+        )
+    ), "adjacent equal-state blocks must merge into one segment"
+    assert (tmp_path / "g-blocks.csv").read_text() == "5\t3\t2\t4\t6\n2\t2\t2\t2\t12\n"
+    assert (tmp_path / "g-compression.csv").read_text() == "4\n4\n"
+    # nseg = n_boundaries + 1; internal = nseg * (K + 1)
+    assert (tmp_path / "g-segments.csv").read_text() == "3\t12\n3\t12\n"
+
+    if native.available():
+        import hammlet_tpu.native as nat
+
+        orig = nat.available
+        nat.available = lambda: False
+        try:
+            write("p-")
+        finally:
+            nat.available = orig
+        for s in ("sequences", "blocks", "compression", "segments"):
+            assert (tmp_path / f"g-{s}.csv").read_bytes() == (
+                tmp_path / f"p-{s}.csv"
+            ).read_bytes(), s
 
 
 def test_multivariate_engine(tmp_path):
