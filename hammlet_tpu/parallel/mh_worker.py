@@ -44,12 +44,17 @@ def main() -> None:
     os.environ["HAMMLET_PROCESS_ID"] = str(pid)
     os.environ["HAMMLET_LOCAL_DEVICES"] = str(local)
 
+    # extra CLI tokens (e.g. "-w -C {rank}-ck.npz 8" for the
+    # kill-and-resume test); "{rank}" expands to this process id
+    extra = os.environ.get("HAMMLET_MH_EXTRA", "").format(rank=pid).split()
+
     from hammlet_tpu.cli import main as cli_main
 
     rc = cli_main(
         ["-f", datafile, "-s", "3", "-a", "-R", "5", "-D", str(local * nproc),
          "-o", outprefix, ".csv",
-         "-O", "marginals", "parameters", "compression", "-i", *scheme]
+         "-O", "marginals", "parameters", "compression", "-i", *scheme,
+         *extra]
     )
     if rc != 0:
         raise SystemExit(rc)

@@ -98,3 +98,92 @@ def test_non_primary_records_opens_no_files(tmp_path):
     )
     rec.close()
     assert list(tmp_path.iterdir()) == []
+
+
+def test_two_process_kill_and_resume(tmp_path):
+    """Cross-process checkpoint/resume: SIGKILL a 2-process run mid-phase
+    after a checkpoint landed, rerun the identical command, and the final
+    marginals must be byte-identical to an uninterrupted 2-process run.
+
+    Both ranks checkpoint to the SAME path: the sharded checkpoint gathers
+    globally-replicated content, both ranks reach the save at the same
+    sweep (the gather is a collective), and the atomic os.replace leaves
+    either generation complete — so both ranks always restore the same
+    sweep cursor even if the kill lands between the two ranks' writes."""
+    import time
+
+    import numpy as np
+
+    from hammlet_tpu.parallel.mh_worker import synth
+
+    T = 3000
+    data = synth(T)
+    datafile = str(tmp_path / "data.csv.gz")
+    with gzip.open(datafile, "wt") as fh:
+        fh.write("\n".join(f"{v:.6f}" for v in data))
+
+    scheme = "M 8 0 F 200 4".split()
+    base_env = {
+        **os.environ,
+        "PYTHONPATH": REPO,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "",
+        # small compiled chunks so checkpoints land mid-phase
+        "HAMMLET_PHASE_CHUNK": "8",
+    }
+
+    def launch(prefix, extra, port):
+        return [
+            subprocess.Popen(
+                [sys.executable, "-m", "hammlet_tpu.parallel.mh_worker",
+                 str(pid), "2", str(port), datafile, prefix, "4", *scheme],
+                env={**base_env, "HAMMLET_MH_EXTRA": extra},
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for pid in range(2)
+        ]
+
+    # uninterrupted baseline
+    procs = launch(str(tmp_path / "base-"), "-w", _free_port())
+    logs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+    baseline = (tmp_path / "base-marginals.csv").read_bytes()
+
+    # run to kill: shared checkpoint every 8 sweeps
+    ck = tmp_path / "shared.ckpt"
+    extra = f"-w -C {ck} 8"
+    procs = launch(str(tmp_path / "kr-"), extra, _free_port())
+    deadline = time.time() + 480
+    killed = False
+    while time.time() < deadline:
+        if all(p.poll() is not None for p in procs):
+            break  # finished before we could kill (counts as a failure below)
+        if ck.exists():
+            try:
+                sc = int(np.load(ck)["sweeps_completed"])
+            except Exception:  # mid-replace read; retry
+                sc = 0
+            if 16 <= sc <= 150:  # mid-F-phase, well before completion
+                for p in procs:
+                    p.kill()
+                killed = True
+                break
+        time.sleep(0.05)
+    assert killed, "run finished before a mid-phase checkpoint was observed"
+    for p in procs:
+        p.wait(timeout=60)
+        assert p.returncode != 0  # really died from the kill
+    sc_at_kill = int(np.load(ck)["sweeps_completed"])
+
+    # identical command again: both ranks restore the shared checkpoint
+    procs = launch(str(tmp_path / "kr-"), extra, _free_port())
+    logs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+    assert any(f"primary=True" in log for log in logs)
+
+    resumed = (tmp_path / "kr-marginals.csv").read_bytes()
+    assert resumed == baseline, (
+        f"marginals diverged after kill at sweep {sc_at_kill} + resume"
+    )
