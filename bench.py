@@ -81,8 +81,10 @@ def bench_ours(data):
     outputs = set(Records.STREAMS) if STREAMS == "all" else {"marginals"}
     rec = Records(len(data), out, ".csv", 3, outputs=outputs, overwrite=True)
     log("building engine (ingest + autopriors)")
+    t_setup0 = time.time()
     eng = make_engine(data, nr_params=3, seed=0, records=rec)
-    log(f"engine ready, capacity {eng.capacity}; burn-in")
+    setup_s = time.time() - t_setup0
+    log(f"engine ready in {setup_s:.1f}s, capacity {eng.capacity}; burn-in")
     eng.run("M", BURNIN, 0)  # burn-in (reference default scheme starts with M)
     log(f"burn-in done, capacity {eng.capacity}; warming F chunks")
     # two warm chunks of the measured size: the first may shrink the block
@@ -99,7 +101,7 @@ def bench_ours(data):
         eng.run("F", SWEEPS, THIN)
         best = max(best, eng.sweeps_per_second)
     eng.finalize()
-    return best
+    return best, setup_s
 
 
 def bench_reference(data):
@@ -150,8 +152,8 @@ def main():
     log("generating/loading data")
     data = ensure_data()
     log(f"data ready: {len(data)} values")
-    ours = bench_ours(data)
-    log(f"ours: {ours:.2f} sweeps/s")
+    ours, setup_s = bench_ours(data)
+    log(f"ours: {ours:.2f} sweeps/s (setup {setup_s:.1f}s)")
     ref = bench_reference(data)
     log(f"reference: {ref if ref else 'n/a'} sweeps/s")
     vs = (ours / ref) if ref else None
@@ -165,6 +167,7 @@ def main():
                 "value": round(ours, 3),
                 "unit": "sweeps/s",
                 "vs_baseline": round(vs, 3) if vs else None,
+                "setup_s": round(setup_s, 1),
             }
         )
     )

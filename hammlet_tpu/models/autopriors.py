@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from hammlet_tpu.ops.blocks import (
     PrefixStats,
     block_sufficient_stats,
-    make_blocks,
 )
 
 
@@ -86,7 +85,7 @@ def autoprior_host(
 def autoprior(
     s2: float,
     p: float,
-    weights,
+    ranked,
     prefix: PrefixStats,
     noise_std: float,
     capacity: int,
@@ -94,21 +93,24 @@ def autoprior(
 ) -> np.ndarray:
     """Full auto-prior pipeline (AutoPriors.hpp:86-107): compress at
     threshold sqrt(2 ln T) * sigma_noise, take per-(block, dim) means, feed
-    their mean/variance into the closed form."""
+    their mean/variance into the closed form. Blocks come from the ranked
+    weights (an O(capacity) sort) instead of a T-sized nonzero — the
+    latter lowers to a full-length sort, a pointless extra multi-second
+    remote compile + O(T log T) run at setup."""
     T = prefix.T
     thr = np.float32(np.sqrt(2.0 * np.log(float(T))) * noise_std)
-    mean, var = _block_mean_moments(
-        jnp.asarray(weights), prefix, thr, capacity, cell_bits
-    )
+    mean, var = _block_mean_moments(ranked, prefix, thr, capacity, cell_bits)
     return nig_autoprior(s2, p, float(mean), float(var))
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "cell_bits"))
-def _block_mean_moments(weights, prefix, thr, capacity, cell_bits):
+def _block_mean_moments(ranked, prefix, thr, capacity, cell_bits):
     """One compiled program for the device-side block-mean pass: eager
     op-by-op dispatch here cost ~30 s on the remote-dispatch TPU tunnel
     (each tiny op round-trips the tunnel), the jitted form runs in ms."""
-    blocks = make_blocks(weights, thr, capacity)
+    from hammlet_tpu.ops.blocks import make_blocks_ranked
+
+    blocks = make_blocks_ranked(ranked, thr, capacity)
     stats = block_sufficient_stats(prefix, blocks, cell_bits)  # (B, dim, 2)
     sizes = blocks.sizes.astype(jnp.float32)
     valid = blocks.sizes > 0

@@ -228,14 +228,15 @@ class Ingest:
         if self.weights_host is not None:
             return int((self.weights_host >= np.float32(threshold)).sum())
         return int(
-            np.asarray(
-                jnp.searchsorted(
-                    self.ranked.neg_w_sorted,
-                    -jnp.float32(threshold),
-                    side="right",
-                )
-            )
+            np.asarray(_count_ge(self.ranked.neg_w_sorted, np.float32(threshold)))
         )
+
+
+@jax.jit
+def _count_ge(neg_sorted: jax.Array, thr: jax.Array) -> jax.Array:
+    """Boundary count at a threshold: O(log T) searchsorted, compiled
+    (eager dispatch costs a full tunnel round trip per call)."""
+    return jnp.searchsorted(neg_sorted, -thr, side="right")
 
 
 def host_transform(data: np.ndarray) -> tuple[np.ndarray, float, np.ndarray]:
@@ -286,10 +287,55 @@ def _odd_coeff_mean(coeffs: jax.Array) -> jax.Array:
     return jnp.sum(pairs, axis=0)[1] / pairs.shape[0]
 
 
+@functools.partial(jax.jit, static_argnames=("use_pallas", "wm", "cell_bits"))
+def _ingest_device_program(data, use_pallas: bool, wm: float, cell_bits: int):
+    """The WHOLE device ingest as ONE compiled program: maxlet transform,
+    finest-level noise reduction, breakpoint weights, weight ranking
+    (argsort), and the in-cell prefix sums. Setup previously dispatched
+    these as five separate programs — five remote compiles cold and five
+    tunnel round trips warm; one fused program is one of each (VERDICT r3:
+    engine build was 51.5 s of the 73 s bench at T=4M)."""
+    from hammlet_tpu.ops.blocks import RankedWeights
+
+    if use_pallas:
+        from hammlet_tpu.ops.wavelet_pallas import maxlet_transform_pallas
+
+        coeffs = maxlet_transform_pallas(data)
+    else:
+        coeffs = maxlet_transform(data)
+    # noise estimate: float32 reduction on device (the reference accumulates
+    # in double — the difference is far below MC noise); the (T/2, 2)
+    # reshape-column form avoids a stride-2 slice that compiled for ~250 s
+    # on the tunnel
+    pairs = coeffs[: (coeffs.shape[0] // 2) * 2].reshape(-1, 2)
+    odd_mean = jnp.sum(pairs, axis=0)[1] / pairs.shape[0]
+    weights = breakpoint_weights(coeffs)
+    if wm != 1.0:
+        weights = weights * jnp.float32(wm)
+    neg = -weights
+    order = jnp.argsort(neg, stable=True).astype(jnp.int32)
+    ranked = RankedWeights(neg_w_sorted=neg[order], pos_by_rank=order)
+    # in-cell reverse prefix sums (build_prefix_stats_device's _incell)
+    T, dim = data.shape
+    CELL = 1 << cell_bits
+    n_cells = -(-T // CELL)
+    Tc = n_cells * CELL
+    stats = jnp.stack([data, data * data], axis=-1)  # (T, dim, 2)
+    stats = jnp.pad(stats, ((0, Tc - T), (0, 0), (0, 0)))
+    x = stats.reshape(n_cells, CELL, dim, 2)
+    r = jnp.flip(jnp.cumsum(jnp.flip(x, axis=1), axis=1), axis=1)
+    totals = r[:, 0]  # (n_cells, dim, 2)
+    r_full = jnp.concatenate(
+        [r.reshape(Tc, dim, 2)[:T], jnp.zeros((1, dim, 2), jnp.float32)]
+    )
+    return odd_mean, weights, ranked, r_full, totals
+
+
 def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
     """Device-side ingest: upload only the raw data (T*dim*4 bytes) and run
-    the transform/sort/prefix construction on the accelerator. Essential on
-    low-bandwidth host<->device links; bit-identical maxlet/weights."""
+    the transform/sort/prefix construction on the accelerator in one fused
+    program. Essential on low-bandwidth host<->device links; bit-identical
+    maxlet/weights."""
     data = np.asarray(data, dtype=np.float32)
     if data.ndim == 1:
         data = data[:, None]
@@ -303,23 +349,24 @@ def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
         "HAMMLET_PALLAS_MAXLET",
         "1" if jax.default_backend() not in ("cpu", "gpu") else "0",
     ) == "1"
-    if use_pallas:
-        from hammlet_tpu.ops.wavelet_pallas import maxlet_transform_pallas
+    odd_mean, weights, ranked, r_full, totals = _ingest_device_program(
+        data_dev, use_pallas, float(weight_multiplier), DEVICE_CELL_BITS
+    )
+    noise = float(odd_mean) / 0.7978845608028654
+    # tiny host round trip: exact float64 cross-cell prefix from the
+    # per-cell totals (n_cells = T / 4096 values)
+    n_cells = totals.shape[0]
+    tot_host = np.asarray(totals).astype(np.float64)
+    q2 = np.zeros((n_cells + 1, dim, 2), dtype=np.float64)
+    np.cumsum(tot_host, axis=0, out=q2[:n_cells])
+    q2[n_cells] = q2[n_cells - 1]
+    q2_hi = q2.astype(np.float32)
+    q2_lo = (q2 - q2_hi.astype(np.float64)).astype(np.float32)
+    from hammlet_tpu.ops.blocks import PrefixStats
 
-        coeffs = maxlet_transform_pallas(data_dev)
-    else:
-        coeffs = maxlet_transform(data_dev)
-    # noise estimate (float32 reduction on device; the reference accumulates
-    # in double — the difference is far below MC noise). One jitted program:
-    # eager dispatch of the same ops cost ~130 s on the remote-dispatch TPU
-    # tunnel, and a stride-2 slice form compiled for ~250 s; the jitted
-    # (T/2, 2) reshape-column reduction runs in ms
-    noise = float(_odd_coeff_mean(coeffs)) / 0.7978845608028654
-    weights = breakpoint_weights(coeffs)
-    if weight_multiplier != 1.0:
-        weights = weights * jnp.float32(weight_multiplier)
-    ranked = build_ranked_weights_device(weights)
-    prefix = build_prefix_stats_device(data_dev)
+    prefix = PrefixStats(
+        r=r_full, q2_hi=jnp.asarray(q2_hi), q2_lo=jnp.asarray(q2_lo)
+    )
     return Ingest(
         weights=weights,
         weights_host=None,
@@ -728,7 +775,7 @@ def make_engine(
         thr0 = float(np.sqrt(2 * np.log(float(ing.T))) * ing.noise_std)
         ap_cap = max(8, ing.count_boundaries(thr0) + 8)
         nig_row = autoprior(
-            s2, p, ing.weights, ing.prefix, ing.noise_std, ap_cap,
+            s2, p, ing.ranked, ing.prefix, ing.noise_std, ap_cap,
             cell_bits=ing.cell_bits,
         )
     trace("autoprior done")
