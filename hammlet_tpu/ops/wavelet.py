@@ -72,43 +72,46 @@ def breakpoint_weights(coeffs: jax.Array) -> jax.Array:
     odd multiples of I), the node's coefficient is max-propagated onto both
     support edges (even multiples of I). All ops are exact max/compares, so
     the result is bit-identical to the reference's in-place loop.
+
+    Implemented as a PYRAMID: level I only ever touches multiples of I, and
+    the centers it reads (odd multiples of I) are untouched raw coefficients
+    (coarser levels only write multiples of 2I) — so the carry is just the
+    current values at multiples of 2I (a (p/2I,) array), interleaved with
+    the raw centers after each level. A full-length formulation updated two
+    (T,) arrays per level via scatters, which XLA kept live across all
+    log2(T) levels — the compiled program wanted 15.9 GB HBM at T=64M; the
+    pyramid peaks at ~4 T-sized buffers.
     """
     T = coeffs.shape[0]
-    w = coeffs
     p = 1
     while p < T:
         p *= 2
+    cpad = jnp.pad(coeffs, (0, p - T))  # padded values are never selected
+    A = cpad[:1]  # values at multiples of p (position 0)
     interval = p // 2
     while interval >= 1:
         I2 = 2 * interval
-        m = w[interval::I2]  # node centers (odd multiples of I), length nm
-        nm = m.shape[0]
-        L = w[::I2]  # support edges (even multiples of I), length nL
-        nL = L.shape[0]
-        if nm == 0:
-            interval //= 2
-            continue
-        # cond[k]: right support edge (2k+2)*I of node k lies inside [0, T)
+        m = cpad[interval::I2]  # raw centers: odd multiples of I, (p/I2,)
+        nm = m.shape[0]  # == A.shape[0] == p // I2
         k = np.arange(nm)
-        cond = ((2 * k + 2) * interval) < T
-        condj = jnp.asarray(cond)
-        # left-edge contribution: position 2k*I receives m[k]
-        left_contrib = jnp.full((nL,), -jnp.inf, dtype=w.dtype).at[:nm].set(m)
-        # right-edge contribution: position (2k+2)*I is L-index k+1 and
-        # receives m[k] when cond[k] (cond guarantees k+1 < nL)
-        right_vals = jnp.where(condj, m, -jnp.inf)
-        nr = min(nm, nL - 1)
-        right_contrib = (
-            jnp.full((nL,), -jnp.inf, dtype=w.dtype).at[1 : 1 + nr].set(right_vals[:nr])
+        center_pos = (2 * k + 1) * interval
+        # node exists iff its center is a data position; its right edge
+        # (2k+2)*I must also lie inside [0, T) to propagate, else the node
+        # and its left edge become inf (wavelet support incomplete)
+        active = center_pos < T
+        cond = jnp.asarray(active & (center_pos + interval < T))
+        activej = jnp.asarray(active)
+        left_contrib = jnp.where(cond, m, -jnp.inf)
+        force_inf = jnp.where(activej & ~cond, jnp.inf, -jnp.inf)
+        newA = jnp.maximum(A, jnp.maximum(left_contrib, force_inf))
+        # right edge of node k is edge k+1 (the last node's right edge is
+        # p, outside the pyramid, and its cond is False by construction)
+        right_shift = jnp.concatenate(
+            [jnp.full((1,), -jnp.inf, A.dtype), jnp.where(cond, m, -jnp.inf)[: nm - 1]]
         )
-        # nodes with no right edge force their left edge (and themselves) inf
-        inf_contrib = (
-            jnp.full((nL,), -jnp.inf, dtype=w.dtype)
-            .at[:nm]
-            .set(jnp.where(condj, -jnp.inf, jnp.inf))
-        )
-        newL = jnp.maximum(jnp.maximum(L, left_contrib), jnp.maximum(right_contrib, inf_contrib))
-        new_m = jnp.where(condj, m, jnp.inf)
-        w = w.at[::I2].set(newL).at[interval::I2].set(new_m)
+        newA = jnp.maximum(newA, right_shift)
+        new_m = jnp.where(cond | ~activej, m, jnp.inf)
+        # interleave: position 2j*I = newA[j], (2j+1)*I = new_m[j]
+        A = jnp.stack([newA, new_m], axis=1).reshape(-1)
         interval //= 2
-    return w
+    return A[:T]

@@ -287,14 +287,16 @@ def _odd_coeff_mean(coeffs: jax.Array) -> jax.Array:
     return jnp.sum(pairs, axis=0)[1] / pairs.shape[0]
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "wm", "cell_bits"))
-def _ingest_device_program(data, use_pallas: bool, wm: float, cell_bits: int):
-    """The WHOLE device ingest as ONE compiled program: maxlet transform,
-    finest-level noise reduction, breakpoint weights, weight ranking
-    (argsort), and the in-cell prefix sums. Setup previously dispatched
-    these as five separate programs — five remote compiles cold and five
-    tunnel round trips warm; one fused program is one of each (VERDICT r3:
-    engine build was 51.5 s of the 73 s bench at T=4M)."""
+@functools.partial(jax.jit, static_argnames=("use_pallas", "wm"))
+def _ingest_transform_program(data, use_pallas: bool, wm: float):
+    """Maxlet transform + finest-level noise reduction + breakpoint
+    weights + weight ranking (argsort) as ONE compiled program. Setup
+    previously dispatched these as four separate programs — four remote
+    compiles cold and four tunnel round trips warm (VERDICT r3: engine
+    build was 51.5 s of the 73 s bench at T=4M). The prefix-sum build is
+    a SECOND program on purpose: a single fully-fused ingest held the
+    transform chain and the prefix intermediates live simultaneously and
+    exhausted HBM at T=64M."""
     from hammlet_tpu.ops.blocks import RankedWeights
 
     if use_pallas:
@@ -315,7 +317,13 @@ def _ingest_device_program(data, use_pallas: bool, wm: float, cell_bits: int):
     neg = -weights
     order = jnp.argsort(neg, stable=True).astype(jnp.int32)
     ranked = RankedWeights(neg_w_sorted=neg[order], pos_by_rank=order)
-    # in-cell reverse prefix sums (build_prefix_stats_device's _incell)
+    return odd_mean, weights, ranked
+
+
+@functools.partial(jax.jit, static_argnames=("cell_bits",))
+def _ingest_prefix_program(data, cell_bits: int):
+    """In-cell reverse prefix sums (build_prefix_stats_device's _incell),
+    compiled separately from the transform chain (see above)."""
     T, dim = data.shape
     CELL = 1 << cell_bits
     n_cells = -(-T // CELL)
@@ -328,7 +336,7 @@ def _ingest_device_program(data, use_pallas: bool, wm: float, cell_bits: int):
     r_full = jnp.concatenate(
         [r.reshape(Tc, dim, 2)[:T], jnp.zeros((1, dim, 2), jnp.float32)]
     )
-    return odd_mean, weights, ranked, r_full, totals
+    return r_full, totals
 
 
 def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
@@ -349,9 +357,10 @@ def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
         "HAMMLET_PALLAS_MAXLET",
         "1" if jax.default_backend() not in ("cpu", "gpu") else "0",
     ) == "1"
-    odd_mean, weights, ranked, r_full, totals = _ingest_device_program(
-        data_dev, use_pallas, float(weight_multiplier), DEVICE_CELL_BITS
+    odd_mean, weights, ranked = _ingest_transform_program(
+        data_dev, use_pallas, float(weight_multiplier)
     )
+    r_full, totals = _ingest_prefix_program(data_dev, DEVICE_CELL_BITS)
     noise = float(odd_mean) / 0.7978845608028654
     # tiny host round trip: exact float64 cross-cell prefix from the
     # per-cell totals (n_cells = T / 4096 values)
