@@ -280,13 +280,6 @@ def ingest(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
     )
 
 
-@jax.jit
-def _odd_coeff_mean(coeffs: jax.Array) -> jax.Array:
-    """Mean of the odd-position (finest-level) maxlet coefficients."""
-    pairs = coeffs[: (coeffs.shape[0] // 2) * 2].reshape(-1, 2)
-    return jnp.sum(pairs, axis=0)[1] / pairs.shape[0]
-
-
 @functools.partial(jax.jit, static_argnames=("use_pallas", "wm"))
 def _ingest_transform_program(data, use_pallas: bool, wm: float):
     """Maxlet transform + finest-level noise reduction + breakpoint
@@ -306,11 +299,14 @@ def _ingest_transform_program(data, use_pallas: bool, wm: float):
     else:
         coeffs = maxlet_transform(data)
     # noise estimate: float32 reduction on device (the reference accumulates
-    # in double — the difference is far below MC noise); the (T/2, 2)
-    # reshape-column form avoids a stride-2 slice that compiled for ~250 s
-    # on the tunnel
-    pairs = coeffs[: (coeffs.shape[0] // 2) * 2].reshape(-1, 2)
-    odd_mean = jnp.sum(pairs, axis=0)[1] / pairs.shape[0]
+    # in double — the difference is far below MC noise). Masked full-length
+    # reduction: an earlier (T/2, 2) reshape-column form put a 2 in the
+    # minor dim, which pads 64x per TPU tile (15.3 GB at T=64M); a stride-2
+    # slice compiled for ~250 s on the tunnel. The mask keeps every array
+    # (T,)-shaped.
+    Tc_ = coeffs.shape[0]
+    odd = (jax.lax.iota(jnp.int32, Tc_) & 1) == 1
+    odd_mean = jnp.sum(jnp.where(odd, coeffs, 0.0)) / (Tc_ // 2)
     weights = breakpoint_weights(coeffs)
     if wm != 1.0:
         weights = weights * jnp.float32(wm)
