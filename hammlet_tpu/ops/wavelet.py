@@ -111,7 +111,13 @@ def breakpoint_weights(coeffs: jax.Array) -> jax.Array:
         )
         newA = jnp.maximum(newA, right_shift)
         new_m = jnp.where(cond | ~activej, m, jnp.inf)
-        # interleave: position 2j*I = newA[j], (2j+1)*I = new_m[j]
-        A = jnp.stack([newA, new_m], axis=1).reshape(-1)
+        # interleave: position 2j*I = newA[j], (2j+1)*I = new_m[j].
+        # Gather + parity select keeps every array 1-D: a (n, 2) stack-
+        # reshape pads 64x per TPU tile ((8, 128) tiling of the minor 2),
+        # which is a 15.3 GB HLO temp at T=64M.
+        n2 = 2 * nm
+        j = jax.lax.iota(jnp.int32, n2) >> 1
+        parity = (jax.lax.iota(jnp.int32, n2) & 1) == 1
+        A = jnp.where(parity, new_m[j], newA[j])
         interval //= 2
     return A[:T]
