@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import ensure_data, log  # noqa: E402
 from hammlet_tpu.models.hmm import HMMState, resample_model  # noqa: E402
 from hammlet_tpu.ops.blocks import (  # noqa: E402
-    block_sufficient_stats,
+    block_sufficient_stats_t,
     make_blocks_bucketed,
 )
 from hammlet_tpu.runner import enable_compilation_cache, make_engine  # noqa: E402
@@ -114,12 +114,12 @@ def main():
 
     def stage_blocks(k, model, buffers):
         model, blocks = pre(k, model)
-        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        bstats = block_sufficient_stats_t(prefix, blocks, cell_bits)
         return model, buffers, jnp.sum(bstats) + blocks.n_blocks
 
     def stage_emission(k, model, buffers):
         model, blocks = pre(k, model)
-        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        bstats = block_sufficient_stats_t(prefix, blocks, cell_bits)
         log_e_t = emission_log_weights_t(
             bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
         )
@@ -127,7 +127,7 @@ def main():
 
     def stage_forward(k, model, buffers):
         model, blocks = pre(k, model)
-        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        bstats = block_sufficient_stats_t(prefix, blocks, cell_bits)
         log_e_t = emission_log_weights_t(
             bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
         )
@@ -138,7 +138,7 @@ def main():
 
     def stage_backward(k, model, buffers):
         model, blocks = pre(k, model)
-        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        bstats = block_sufficient_stats_t(prefix, blocks, cell_bits)
         log_e_t = emission_log_weights_t(
             bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
         )
@@ -150,7 +150,7 @@ def main():
 
     def stage_accum(k, model, buffers):
         model, blocks = pre(k, model)
-        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        bstats = block_sufficient_stats_t(prefix, blocks, cell_bits)
         log_e_t = emission_log_weights_t(
             bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
         )
@@ -165,7 +165,7 @@ def main():
 
     def stage_resample(k, model, buffers):
         model, blocks = pre(k, model)
-        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        bstats = block_sufficient_stats_t(prefix, blocks, cell_bits)
         log_e_t = emission_log_weights_t(
             bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
         )
@@ -181,7 +181,7 @@ def main():
 
     def stage_record(k, model, buffers):
         model, blocks = pre(k, model)
-        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        bstats = block_sufficient_stats_t(prefix, blocks, cell_bits)
         log_e_t = emission_log_weights_t(
             bstats, blocks.sizes, model.theta_mean, model.theta_var, mapping
         )
@@ -198,7 +198,7 @@ def main():
 
     def stage_mixture(k, model, buffers):
         model, blocks = pre(k, model)
-        bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+        bstats = block_sufficient_stats_t(prefix, blocks, cell_bits)
         z = mixture_sample_states(
             k, bstats, blocks.sizes, blocks.n_blocks,
             model.theta_mean, model.theta_var, mapping,

@@ -144,23 +144,25 @@ def emission_log_weights(
 
 
 def emission_log_weights_t(
-    block_stats: jax.Array,
+    block_stats_t: jax.Array,
     sizes: jax.Array,
     theta_mean: jax.Array,
     theta_var: jax.Array,
     mapping: jax.Array,
 ) -> jax.Array:
-    """emission_log_weights in transposed layout: returns (K, B) with the
-    block axis minor (TPU-tile friendly; a (B, K) array with K small pads
-    K -> 128 lanes)."""
+    """emission_log_weights in transposed layout: block_stats_t is
+    (dim, 2, B) (ops.blocks.block_sufficient_stats_t) and the result is
+    (K, B) — block axis minor everywhere (TPU-tile friendly; a (B, K)
+    array with K small pads K -> 128 lanes, and a (B, dim, 2) stat array
+    pads its minor 2 to 128)."""
     a = theta_mean / theta_var
     b = 0.5 / theta_var
     c = 0.5 * jnp.log(theta_var) + theta_mean**2 * b
     A = a[mapping]  # (K, dim)
     Bc = b[mapping]
     C = jnp.sum(c[mapping], axis=1)  # (K,)
-    sums_t = block_stats[..., 0].T  # (dim, B)
-    sumsqs_t = block_stats[..., 1].T
+    sums_t = block_stats_t[:, 0, :]  # (dim, B)
+    sumsqs_t = block_stats_t[:, 1, :]
     ip = jnp.einsum(
         "kd,db->kb", A, sums_t, preferred_element_type=jnp.float32
     ) - jnp.einsum("kd,db->kb", Bc, sumsqs_t, preferred_element_type=jnp.float32)

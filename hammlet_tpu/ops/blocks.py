@@ -247,6 +247,38 @@ def block_sufficient_stats(
     return (r_s - r_e) + ((q_hi_e - q_hi_s) + (q_lo_e - q_lo_s))
 
 
+def block_sufficient_stats_t(
+    prefix: PrefixStats, blocks: BlockStructure, cell_bits: int = CELL_BITS
+) -> jax.Array:
+    """(dim, 2, Bcap) float32 — block (sum x, sum x^2) with the BLOCK AXIS
+    MINOR. Identical values to ``block_sufficient_stats`` (same gathers,
+    same add order per component).
+
+    The (B, dim, 2) layout puts a 2 in the minor dim, which pads 64x per
+    (8, 128) TPU tile — a 24 GB HLO temp at the ~T burn-in capacities of a
+    64M-position run. Here every gather is 1-D: the per-component
+    (T+1,) slices of the prefix arrays are loop-invariant and hoist out
+    of the scanned phase, so per sweep this is 2*dim*2 cheap 1-D gathers."""
+    s = blocks.starts
+    cs = (s >> cell_bits).astype(jnp.int32)
+    ce_last = prefix.T >> cell_bits  # cell index of the final end (= T)
+    dim = prefix.dim
+    comps = []
+    for d in range(dim):
+        for c in range(2):
+            r1 = prefix.r[:, d, c]  # (T+1,) — hoisted out of the scan
+            qh = prefix.q2_hi[:, d, c]
+            ql = prefix.q2_lo[:, d, c]
+            r_s = r1[s]
+            r_e = jnp.concatenate([r_s[1:], jnp.zeros_like(r_s[:1])])
+            qh_s = qh[cs]
+            ql_s = ql[cs]
+            qh_e = jnp.concatenate([qh_s[1:], qh[ce_last][None]])
+            ql_e = jnp.concatenate([ql_s[1:], ql[ce_last][None]])
+            comps.append((r_s - r_e) + ((qh_e - qh_s) + (ql_e - ql_s)))
+    return jnp.stack(comps).reshape(dim, 2, s.shape[0])
+
+
 def blocks_from_sizes(sizes, capacity: int | None = None) -> BlockStructure:
     """Static block structure from an explicit size list (the reference's
     Blocks<Fixed>, src/Blocks/FixedBlocks.hpp:5-106; Splittable refinement is

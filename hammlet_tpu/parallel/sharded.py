@@ -116,9 +116,12 @@ def _sharded_sweep_body(
     mapping = jnp.asarray(mapping_np)
     K = mapping.shape[0]
 
+    dim = q2_hi.shape[1]
+
     def query(s_glob, e_glob):
         """Block stats for global [s, e) with both endpoints in
-        [shard_start, shard_end]; the local R carries the right-edge entry."""
+        [shard_start, shard_end]; the local R carries the right-edge entry.
+        Scalar endpoints -> (dim, 2) (the per-shard head stats)."""
         r_s = r_l[s_glob - shard_start]
         r_e = r_l[e_glob - shard_start]
         cs = (s_glob >> cell_bits).astype(jnp.int32)
@@ -126,6 +129,29 @@ def _sharded_sweep_body(
         return (r_s - r_e) + (
             (q2_hi[ce] - q2_hi[cs]) + (q2_lo[ce] - q2_lo[cs])
         )
+
+    def query_t(s_glob, e_glob):
+        """Vector query in the (dim, 2, B) block-axis-minor layout: every
+        gather is 1-D (the per-component slices are loop-invariant and
+        hoist out of the scanned phase). The (B, dim, 2) form pads its
+        minor 2 to a full (8, 128) tile — 64x HBM inflation, fatal at
+        pod-scale per-shard burn-in capacities (T_local ~ 190M at 3 Gbp
+        on 16 chips)."""
+        ls = s_glob - shard_start
+        le = e_glob - shard_start
+        cs = (s_glob >> cell_bits).astype(jnp.int32)
+        ce = (e_glob >> cell_bits).astype(jnp.int32)
+        comps = []
+        for d in range(dim):
+            for c in range(2):
+                r1 = r_l[:, d, c]
+                qh = q2_hi[:, d, c]
+                ql = q2_lo[:, d, c]
+                comps.append(
+                    (r1[ls] - r1[le])
+                    + ((qh[ce] - qh[cs]) + (ql[ce] - ql[cs]))
+                )
+        return jnp.stack(comps).reshape(dim, 2, -1)
 
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
 
@@ -157,9 +183,9 @@ def _sharded_sweep_body(
     # ---- block sufficient statistics ------------------------------------
     # all blocks as if they end inside the shard (the last real one is cut
     # at shard_end), then add gathered heads for the shards the last block
-    # spans
+    # spans. (dim, 2, B) block-axis-minor layout throughout.
     e_local = jnp.minimum(gends, shard_end)
-    stats_local = query(gstarts, e_local)
+    stats_local = query_t(gstarts, e_local)  # (dim, 2, B)
 
     head_end = jnp.clip(
         jnp.minimum(first_b, shard_end), shard_start, shard_end
@@ -170,10 +196,10 @@ def _sharded_sweep_body(
     include = (shard_ids > k) & (shard_ids * T_local < next_boundary)
     tail_extra = jnp.sum(
         jnp.where(include[:, None, None], heads_all, 0.0), axis=0
-    )
+    )  # (dim, 2)
     bstats = stats_local + jnp.where(
-        (is_last_real & (gends > shard_end))[:, None, None],
-        tail_extra[None],
+        (is_last_real & (gends > shard_end))[None, None, :],
+        tail_extra[:, :, None],
         0.0,
     )
 

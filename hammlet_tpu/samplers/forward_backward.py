@@ -255,7 +255,7 @@ def backward_sample_t(
 
 def fb_sample_states(
     key: jax.Array,
-    block_stats: jax.Array,
+    block_stats_t: jax.Array,  # (dim, 2, B) — ops.blocks.block_sufficient_stats_t
     sizes: jax.Array,
     n_blocks: jax.Array,
     theta_mean: jax.Array,
@@ -272,7 +272,7 @@ def fb_sample_states(
     from hammlet_tpu.models.distributions import emission_log_weights_t
 
     log_e_t = emission_log_weights_t(
-        block_stats, sizes, theta_mean, theta_var, mapping
+        block_stats_t, sizes, theta_mean, theta_var, mapping
     )
     cols_t, last_col = forward_columns_t(
         log_e_t, sizes, n_blocks, A, pi, use_self_transitions

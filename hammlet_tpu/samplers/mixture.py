@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 def mixture_sample_states(
     key: jax.Array,
-    block_stats: jax.Array,
+    block_stats_t: jax.Array,  # (dim, 2, B) — ops.blocks.block_sufficient_stats_t
     sizes: jax.Array,
     n_blocks: jax.Array,
     theta_mean: jax.Array,
@@ -26,7 +26,7 @@ def mixture_sample_states(
     from hammlet_tpu.models.distributions import emission_log_weights_t
 
     log_e_t = emission_log_weights_t(
-        block_stats, sizes, theta_mean, theta_var, mapping
+        block_stats_t, sizes, theta_mean, theta_var, mapping
     )
     K, B = log_e_t.shape
     gumbel = jax.random.gumbel(key, (K, B), dtype=jnp.float32)

@@ -30,7 +30,7 @@ from hammlet_tpu.models.hmm import (
 from hammlet_tpu.ops.blocks import (
     PrefixStats,
     RankedWeights,
-    block_sufficient_stats,
+    block_sufficient_stats_t,
     bucket_candidates,
     make_blocks_bucketed,
 )
@@ -101,12 +101,14 @@ def accumulate_sweep_stats(
     states: jax.Array,
     sizes: jax.Array,
     n_blocks: jax.Array,
-    block_stats: jax.Array,
+    block_stats_t: jax.Array,
     mapping: jax.Array,
     nr_params: int,
 ) -> SweepStats:
     """Segment-reduce the sampled path into conjugate-update statistics
     (reference pass 3, ForwardBackward.hpp:170-212).
+    ``block_stats_t`` is the (dim, 2, B) block-axis-minor layout
+    (ops.blocks.block_sufficient_stats_t).
 
     Implemented as one-hot mask reductions (einsums over the block axis)
     instead of segment_sum: TPU scatters serialize, while K x B masked
@@ -147,8 +149,8 @@ def accumulate_sweep_stats(
         ohp = (
             pm[:, d][None, :] == jnp.arange(nr_params, dtype=pm.dtype)[:, None]
         ).astype(jnp.float32) * validf[None, :]  # (P, B)
-        theta_sums = theta_sums + ohp @ block_stats[:, d, 0]
-        theta_sumsqs = theta_sumsqs + ohp @ block_stats[:, d, 1]
+        theta_sums = theta_sums + ohp @ block_stats_t[d, 0]
+        theta_sumsqs = theta_sumsqs + ohp @ block_stats_t[d, 1]
         theta_counts = theta_counts + ohp @ sizes_f
     return SweepStats(theta_sums, theta_sumsqs, theta_counts, trans_counts, state_counts)
 
@@ -251,7 +253,10 @@ def _sweep_core(
     T = ranked.pos_by_rank.shape[0]
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
     blocks = make_blocks_bucketed(cand_pos, cand_rank, ranked, thr)
-    bstats = block_sufficient_stats(prefix, blocks, cell_bits)
+    # (dim, 2, B) block-axis-minor layout: the (B, dim, 2) form put a 2 in
+    # the minor dim (64x tile padding — a 24 GB temp at ~T burn-in
+    # capacities of a 64M-position run)
+    bstats = block_sufficient_stats_t(prefix, blocks, cell_bits)
 
     k_states, k_model = jax.random.split(key)
     if method == "F":

@@ -80,7 +80,8 @@ def test_forward_columns_match_golden(use_self):
 
     p = _toy_problem(seed=11)
     log_e_t = emission_log_weights_t(
-        jnp.asarray(p["stats"]), jnp.asarray(p["sizes"]),
+        jnp.transpose(jnp.asarray(p["stats"]), (1, 2, 0)),
+        jnp.asarray(p["sizes"]),
         jnp.asarray(p["theta_mean"]), jnp.asarray(p["theta_var"]),
         jnp.asarray(p["mapping"]),
     )
@@ -106,7 +107,8 @@ def test_fb_sampler_distribution_matches_golden():
     keys = jax.random.split(jax.random.PRNGKey(42), n_draws)
     sample = jax.jit(
         lambda k: fb_sample_states(
-            k, jnp.asarray(p["stats"]), jnp.asarray(p["sizes"]),
+            k, jnp.transpose(jnp.asarray(p["stats"]), (1, 2, 0)),
+            jnp.asarray(p["sizes"]),
             jnp.int32(p["B"]), jnp.asarray(p["theta_mean"]),
             jnp.asarray(p["theta_var"]), jnp.asarray(p["A"]),
             jnp.asarray(p["pi"]), jnp.asarray(p["mapping"]), True,
@@ -147,7 +149,8 @@ def test_mixture_sampler_frequencies():
     keys = jax.random.split(jax.random.PRNGKey(1), n_draws)
     sample = jax.jit(
         lambda k: mixture_sample_states(
-            k, jnp.asarray(p["stats"]), jnp.asarray(p["sizes"]),
+            k, jnp.transpose(jnp.asarray(p["stats"]), (1, 2, 0)),
+            jnp.asarray(p["sizes"]),
             jnp.int32(p["B"]), jnp.asarray(p["theta_mean"]),
             jnp.asarray(p["theta_var"]), jnp.asarray(p["mapping"]),
         )
@@ -168,7 +171,8 @@ def test_accumulate_sweep_stats_matches_golden():
     states[p["B"]:] = 2  # garbage in padding must be ignored
     stats = accumulate_sweep_stats(
         jnp.asarray(states), jnp.asarray(p["sizes"]), jnp.int32(p["B"]),
-        jnp.asarray(p["stats"]), jnp.asarray(p["mapping"]), 3,
+        jnp.transpose(jnp.asarray(p["stats"]), (1, 2, 0)),
+        jnp.asarray(p["mapping"]), 3,
     )
     want_counts, want_trans = gold.accumulate_counts(states_real, p["N"], 3)
     np.testing.assert_allclose(np.asarray(stats.state_counts), want_counts)
