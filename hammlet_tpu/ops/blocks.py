@@ -37,24 +37,34 @@ CELL = 1 << CELL_BITS
 class PrefixStats(NamedTuple):
     """Cell-structured prefix sums of per-position sufficient statistics.
 
-    r:      (T+1, dim, 2) float32 — in-cell reverse cumsum of (x, x^2);
-            r[i] = sum over [i, cell_end(i)) of the stat. r[T] handles
-            end-of-data queries (always 0 at a cell boundary).
+    r_t:    (dim, 2, T+1) float32 — in-cell reverse cumsum of (x, x^2)
+            with the POSITION AXIS MINOR and each (d, c) component a
+            contiguous row; r_t[d, c, i] = sum over [i, cell_end(i)) of
+            the stat, r_t[..., T] handles end-of-data queries. The
+            position-major (T+1, dim, 2) layout put a 2 in the minor dim
+            (64x TPU tile padding on every gather result) and made the
+            per-sweep block-stat gathers stride-2 reads.
     q2_hi:  (n_cells+1, dim, 2) float32 — inclusive cross-cell prefix (hi).
     q2_lo:  (n_cells+1, dim, 2) float32 — residual (lo) of the same.
     """
 
-    r: jax.Array
+    r_t: jax.Array
     q2_hi: jax.Array
     q2_lo: jax.Array
 
     @property
+    def r(self) -> jax.Array:
+        """(T+1, dim, 2) compatibility view (tests/inspection only — the
+        hot path reads the contiguous r_t rows)."""
+        return jnp.transpose(self.r_t, (2, 0, 1))
+
+    @property
     def T(self) -> int:
-        return self.r.shape[0] - 1
+        return self.r_t.shape[2] - 1
 
     @property
     def dim(self) -> int:
-        return self.r.shape[1]
+        return self.r_t.shape[0]
 
 
 def build_prefix_stats(data: np.ndarray, cell_bits: int = CELL_BITS) -> PrefixStats:
@@ -92,7 +102,9 @@ def build_prefix_stats(data: np.ndarray, cell_bits: int = CELL_BITS) -> PrefixSt
     q2_lo = (q2 - q2_hi.astype(np.float64)).astype(np.float32)
 
     return PrefixStats(
-        r=jnp.asarray(r.astype(np.float32)),
+        r_t=jnp.asarray(
+            np.ascontiguousarray(r.astype(np.float32).transpose(1, 2, 0))
+        ),
         q2_hi=jnp.asarray(q2_hi),
         q2_lo=jnp.asarray(q2_lo),
     )
@@ -125,16 +137,16 @@ def build_prefix_stats_device(data: jax.Array, cell_bits: int = DEVICE_CELL_BITS
         r_full = jnp.concatenate(
             [r.reshape(Tc, dim, 2)[: T], jnp.zeros((1, dim, 2), jnp.float32)]
         )
-        return r_full, totals
+        return jnp.transpose(r_full, (1, 2, 0)), totals
 
-    r, totals = _incell(data)
+    r_t, totals = _incell(data)
     tot_host = np.asarray(totals).astype(np.float64)
     q2 = np.zeros((n_cells + 1, dim, 2), dtype=np.float64)
     np.cumsum(tot_host, axis=0, out=q2[:n_cells])
     q2[n_cells] = q2[n_cells - 1]
     q2_hi = q2.astype(np.float32)
     q2_lo = (q2 - q2_hi.astype(np.float64)).astype(np.float32)
-    return PrefixStats(r=r, q2_hi=jnp.asarray(q2_hi), q2_lo=jnp.asarray(q2_lo))
+    return PrefixStats(r_t=r_t, q2_hi=jnp.asarray(q2_hi), q2_lo=jnp.asarray(q2_lo))
 
 
 @jax.jit
@@ -234,17 +246,9 @@ def block_sufficient_stats(
     rows dominate this function on TPU). Padded blocks yield exact zeros
     (start == end == T; r[T] = 0 and the cell terms cancel).
     """
-    s = blocks.starts
-    r_s = prefix.r[s]  # (B, dim, 2)
-    # r[ends[b]] = r[starts[b+1]]; r[ends[-1]] = r[T] = 0
-    r_e = jnp.concatenate([r_s[1:], jnp.zeros_like(r_s[:1])])
-    cs = (s >> cell_bits).astype(jnp.int32)
-    q_hi_s = prefix.q2_hi[cs]
-    q_lo_s = prefix.q2_lo[cs]
-    ce_last = prefix.T >> cell_bits  # cell index of the final end (= T)
-    q_hi_e = jnp.concatenate([q_hi_s[1:], prefix.q2_hi[ce_last][None]])
-    q_lo_e = jnp.concatenate([q_lo_s[1:], prefix.q2_lo[ce_last][None]])
-    return (r_s - r_e) + ((q_hi_e - q_hi_s) + (q_lo_e - q_lo_s))
+    return jnp.transpose(
+        block_sufficient_stats_t(prefix, blocks, cell_bits), (2, 0, 1)
+    )
 
 
 def block_sufficient_stats_t(
@@ -266,7 +270,7 @@ def block_sufficient_stats_t(
     comps = []
     for d in range(dim):
         for c in range(2):
-            r1 = prefix.r[:, d, c]  # (T+1,) — hoisted out of the scan
+            r1 = prefix.r_t[d, c]  # contiguous (T+1,) row
             qh = prefix.q2_hi[:, d, c]
             ql = prefix.q2_lo[:, d, c]
             r_s = r1[s]

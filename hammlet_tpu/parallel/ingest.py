@@ -248,7 +248,9 @@ class ShardedIngest:
 
     negw: jax.Array  # (T_pad,) sharded: per-shard ascending sort of -weights
     rank: jax.Array  # (T_pad,) sharded: per-shard weight-rank -> local pos
-    r: jax.Array  # (P*(T_local+1), dim, 2) sharded local R with edge rows
+    r: jax.Array  # (P*dim*2, T_local+1) sharded: per-shard local R in the
+    #               position-axis-minor layout (rows = (d, c) components,
+    #               incl. the right-edge entry at column T_local)
     q2_hi: jax.Array  # (n_cells_pad + 1, dim, 2) replicated
     q2_lo: jax.Array
     noise_std: float
@@ -349,7 +351,17 @@ def sharded_ingest(
         else:
             coeffs_parts[j] = np.zeros(0, dtype=F32)
         pay1[j] = payload
-        r_pieces.append(jax.device_put(piece, devices[j]))
+        # position-axis-minor contiguous component rows (the position-major
+        # (T_local+1, dim, 2) layout pads its minor 2 to a full TPU tile on
+        # every per-sweep gather; see ops.blocks.PrefixStats.r_t)
+        r_pieces.append(
+            jax.device_put(
+                np.ascontiguousarray(
+                    piece.transpose(1, 2, 0).reshape(dim * 2, T_local + 1)
+                ),
+                devices[j],
+            )
+        )
 
     gathered = _gather_shard_payloads(mesh, pay1)  # (P, pay1_len) f64
     o = cells_per_shard * dim * 2
@@ -520,7 +532,7 @@ def sharded_ingest(
         (T_pad,), shard, rank_pieces
     )
     r = jax.make_array_from_single_device_arrays(
-        (n_shards * (T_local + 1), dim, 2), shard, r_pieces
+        (n_shards * dim * 2, T_local + 1), shard, r_pieces
     )
     q2_hi = jax.device_put(jnp.asarray(q2_hi_h), rep)
     q2_lo = jax.device_put(jnp.asarray(q2_lo_h), rep)

@@ -83,7 +83,7 @@ def _sharded_sweep_body(
     negw_l,  # (T_local,) ascending sort of -weights, local to the shard
     candpos_l,  # (cap_local+1,) per-shard position-sorted candidates (+T_local sentinel)
     candrank_l,  # (cap_local,) local weight rank of each candidate
-    r_l,  # (T_local + 1,) local in-cell reverse prefix (extra right-edge row)
+    r_l,  # (dim*2, T_local+1) local in-cell reverse prefix component rows
     q2_hi,  # (n_cells + 1, dim, 2) replicated
     q2_lo,
     counts_l,  # (K*T_local,) local FLAT marginal diff accumulator
@@ -118,25 +118,13 @@ def _sharded_sweep_body(
 
     dim = q2_hi.shape[1]
 
-    def query(s_glob, e_glob):
-        """Block stats for global [s, e) with both endpoints in
-        [shard_start, shard_end]; the local R carries the right-edge entry.
-        Scalar endpoints -> (dim, 2) (the per-shard head stats)."""
-        r_s = r_l[s_glob - shard_start]
-        r_e = r_l[e_glob - shard_start]
-        cs = (s_glob >> cell_bits).astype(jnp.int32)
-        ce = (e_glob >> cell_bits).astype(jnp.int32)
-        return (r_s - r_e) + (
-            (q2_hi[ce] - q2_hi[cs]) + (q2_lo[ce] - q2_lo[cs])
-        )
-
     def query_t(s_glob, e_glob):
-        """Vector query in the (dim, 2, B) block-axis-minor layout: every
-        gather is 1-D (the per-component slices are loop-invariant and
-        hoist out of the scanned phase). The (B, dim, 2) form pads its
-        minor 2 to a full (8, 128) tile — 64x HBM inflation, fatal at
-        pod-scale per-shard burn-in capacities (T_local ~ 190M at 3 Gbp
-        on 16 chips)."""
+        """Block stats for global [s, e) with both endpoints in
+        [shard_start, shard_end] — (dim, 2, B) block-axis-minor layout.
+        Every gather is a contiguous 1-D read of an r_l component row (the
+        position-major (B, dim, 2) form pads its minor 2 to a full (8, 128)
+        tile — 64x HBM inflation, fatal at pod-scale per-shard burn-in
+        capacities: T_local ~ 190M at 3 Gbp on 16 chips)."""
         ls = s_glob - shard_start
         le = e_glob - shard_start
         cs = (s_glob >> cell_bits).astype(jnp.int32)
@@ -144,7 +132,7 @@ def _sharded_sweep_body(
         comps = []
         for d in range(dim):
             for c in range(2):
-                r1 = r_l[:, d, c]
+                r1 = r_l[2 * d + c]
                 qh = q2_hi[:, d, c]
                 ql = q2_lo[:, d, c]
                 comps.append(
@@ -152,6 +140,10 @@ def _sharded_sweep_body(
                     + ((qh[ce] - qh[cs]) + (ql[ce] - ql[cs]))
                 )
         return jnp.stack(comps).reshape(dim, 2, -1)
+
+    def query(s_glob, e_glob):
+        """Scalar-endpoint query -> (dim, 2) (the per-shard head stats)."""
+        return query_t(s_glob[None], e_glob[None])[:, :, 0]
 
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
 
@@ -768,7 +760,7 @@ class ShardedEngine:
     cell_bits: int
     negw: jax.Array  # (T_pad,) sharded: per-shard ascending sort of -weights
     rank: jax.Array  # (T_pad,) sharded: per-shard weight-rank -> local position
-    r: jax.Array  # (P*(T_local+1),) sharded local R with right-edge rows
+    r: jax.Array  # (P*dim*2, T_local+1) sharded local R component rows
     q2_hi: jax.Array
     q2_lo: jax.Array
     records: Records | None = None
@@ -998,7 +990,12 @@ class ShardedEngine:
         pending = None  # previous chunk's record payload, drained overlapped
         while done < end:
             n, thin_s, rec_s = _next_chunk(
-                done, end, thinning if recording else 0, PHASE_CHUNK
+                done, end, thinning if recording else 0,
+                # short chunks at huge per-shard capacities (mirrors
+                # runner.Engine._max_chunk: a long scan at ~T_local
+                # capacity crashes the remote compiler and delays the
+                # capacity ladder's first shrink)
+                8 if self.cap_local >= (1 << 23) else PHASE_CHUNK,
             )
             self.sweep_counter += 1
             counter = self.sweep_counter  # fixed across overflow replays
@@ -1244,20 +1241,24 @@ def _choose_layout(T: int, n_shards: int) -> tuple[int, int]:
 
 
 def _local_r_with_edges(r_pad: np.ndarray, n_shards: int, T_local: int, cell: int):
-    """Rearrange the global R into per-shard rows of T_local + 1 entries,
-    the extra entry being R[shard_end] = the full sum of the cell starting
-    at the shard's right edge (0 for the last shard)."""
+    """Rearrange the global R ((T_pad, dim, 2), position-major) into the
+    sharded engine's per-shard layout: (n_shards * dim * 2, T_local + 1)
+    position-axis-minor component rows, the extra column being
+    R[shard_end] = the full sum of the cell starting at the shard's right
+    edge (0 for the last shard)."""
     dim = r_pad.shape[1]
-    out = np.zeros((n_shards * (T_local + 1), dim, 2), dtype=np.float32)
+    out = np.zeros((n_shards * dim * 2, T_local + 1), dtype=np.float32)
     for j in range(n_shards):
         lo = j * T_local
-        out[j * (T_local + 1) : j * (T_local + 1) + T_local] = r_pad[
-            lo : lo + T_local
-        ]
+        blk = np.zeros((T_local + 1, dim, 2), dtype=np.float32)
+        blk[:T_local] = r_pad[lo : lo + T_local]
         edge = (j + 1) * T_local
         if edge < n_shards * T_local:
-            out[j * (T_local + 1) + T_local] = r_pad[edge]
+            blk[T_local] = r_pad[edge]
         # else: 0 (sum over empty region)
+        out[j * dim * 2 : (j + 1) * dim * 2] = blk.transpose(1, 2, 0).reshape(
+            dim * 2, T_local + 1
+        )
     return out
 
 

@@ -332,7 +332,8 @@ def _ingest_prefix_program(data, cell_bits: int):
     r_full = jnp.concatenate(
         [r.reshape(Tc, dim, 2)[:T], jnp.zeros((1, dim, 2), jnp.float32)]
     )
-    return r_full, totals
+    # position-axis-minor contiguous layout (PrefixStats.r_t)
+    return jnp.transpose(r_full, (1, 2, 0)), totals
 
 
 def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
@@ -356,7 +357,7 @@ def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
     odd_mean, weights, ranked = _ingest_transform_program(
         data_dev, use_pallas, float(weight_multiplier)
     )
-    r_full, totals = _ingest_prefix_program(data_dev, DEVICE_CELL_BITS)
+    r_t, totals = _ingest_prefix_program(data_dev, DEVICE_CELL_BITS)
     noise = float(odd_mean) / 0.7978845608028654
     # tiny host round trip: exact float64 cross-cell prefix from the
     # per-cell totals (n_cells = T / 4096 values)
@@ -370,7 +371,7 @@ def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
     from hammlet_tpu.ops.blocks import PrefixStats
 
     prefix = PrefixStats(
-        r=r_full, q2_hi=jnp.asarray(q2_hi), q2_lo=jnp.asarray(q2_lo)
+        r_t=r_t, q2_hi=jnp.asarray(q2_hi), q2_lo=jnp.asarray(q2_lo)
     )
     return Ingest(
         weights=weights,
@@ -491,6 +492,16 @@ class Engine:
             self.ing.T, _round_capacity(nb + nb // 8 + 64)
         )
 
+    def _max_chunk(self) -> int:
+        """Compiled-chunk length for the current capacity. Huge-capacity
+        programs (the first burn-in chunks run at ~T capacity: the first
+        post-prior sweeps genuinely have ~T blocks) compile as SHORT
+        scans — a 48-sweep scan at 47M capacity crashed the remote
+        TPU compiler outright at T=64M, and short chunks also let the
+        capacity ladder shrink within a few sweeps of burn-in instead of
+        paying a full chunk at ~T capacity."""
+        return 8 if self.capacity >= (1 << 23) else PHASE_CHUNK
+
     def run(
         self, method: str, iterations: int, thinning: int, start: int = 0
     ) -> None:
@@ -544,7 +555,7 @@ class Engine:
             # record mask still pays the scatters' full serialization cost
             # every sweep (measured 2.36 vs 1.23 ms/sweep at thin=128)
             n, thin_s, rec_s = _next_chunk(
-                done, end, thinning if recording else 0, PHASE_CHUNK
+                done, end, thinning if recording else 0, self._max_chunk()
             )
             self.sweep_counter += 1
             counter = self.sweep_counter  # fixed across overflow replays
