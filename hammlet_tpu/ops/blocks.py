@@ -260,27 +260,32 @@ def block_sufficient_stats_t(
 
     The (B, dim, 2) layout puts a 2 in the minor dim, which pads 64x per
     (8, 128) TPU tile — a 24 GB HLO temp at the ~T burn-in capacities of a
-    64M-position run. Here every gather is 1-D: the per-component
-    (T+1,) slices of the prefix arrays are loop-invariant and hoist out
-    of the scanned phase, so per sweep this is 2*dim*2 cheap 1-D gathers."""
+    64M-position run. TWO minor-axis gathers (one into r_t, one into the
+    stacked hi/lo cell prefixes) produce the whole result: TPU gathers
+    carry ~0.1 ms of fixed per-op cost inside a scanned sweep, so the op
+    COUNT matters more than the bytes (a per-component 1-D formulation's
+    12 gathers cost +1.1 ms/sweep; this form measures at the scan floor)."""
     s = blocks.starts
     cs = (s >> cell_bits).astype(jnp.int32)
     ce_last = prefix.T >> cell_bits  # cell index of the final end (= T)
-    dim = prefix.dim
-    comps = []
-    for d in range(dim):
-        for c in range(2):
-            r1 = prefix.r_t[d, c]  # contiguous (T+1,) row
-            qh = prefix.q2_hi[:, d, c]
-            ql = prefix.q2_lo[:, d, c]
-            r_s = r1[s]
-            r_e = jnp.concatenate([r_s[1:], jnp.zeros_like(r_s[:1])])
-            qh_s = qh[cs]
-            ql_s = ql[cs]
-            qh_e = jnp.concatenate([qh_s[1:], qh[ce_last][None]])
-            ql_e = jnp.concatenate([ql_s[1:], ql[ce_last][None]])
-            comps.append((r_s - r_e) + ((qh_e - qh_s) + (ql_e - ql_s)))
-    return jnp.stack(comps).reshape(dim, 2, s.shape[0])
+    r_s = prefix.r_t[:, :, s]  # (dim, 2, B)
+    # r[ends[b]] = r[starts[b+1]]; r[ends[-1]] = r[T] = 0
+    r_e = jnp.concatenate(
+        [r_s[:, :, 1:], jnp.zeros_like(r_s[:, :, :1])], axis=2
+    )
+    # (2, dim, 2, n_cells+1) hi/lo stack — tiny and loop-invariant
+    q2c = jnp.stack(
+        [
+            jnp.transpose(prefix.q2_hi, (1, 2, 0)),
+            jnp.transpose(prefix.q2_lo, (1, 2, 0)),
+        ]
+    )
+    q_s = q2c[:, :, :, cs]  # (2, dim, 2, B)
+    q_e = jnp.concatenate(
+        [q_s[..., 1:], q2c[:, :, :, ce_last][..., None]], axis=3
+    )
+    qd = q_e - q_s
+    return (r_s - r_e) + (qd[0] + qd[1])
 
 
 def blocks_from_sizes(sizes, capacity: int | None = None) -> BlockStructure:

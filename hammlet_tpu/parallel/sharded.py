@@ -117,29 +117,31 @@ def _sharded_sweep_body(
     K = mapping.shape[0]
 
     dim = q2_hi.shape[1]
+    r3 = r_l.reshape(dim, 2, -1)  # (dim, 2, T_local+1) component view
+    # (2, dim, 2, n_cells+1) hi/lo stack — tiny and loop-invariant
+    q2c = jnp.stack(
+        [jnp.transpose(q2_hi, (1, 2, 0)), jnp.transpose(q2_lo, (1, 2, 0))]
+    )
 
     def query_t(s_glob, e_glob):
         """Block stats for global [s, e) with both endpoints in
-        [shard_start, shard_end] — (dim, 2, B) block-axis-minor layout.
-        Every gather is a contiguous 1-D read of an r_l component row (the
-        position-major (B, dim, 2) form pads its minor 2 to a full (8, 128)
-        tile — 64x HBM inflation, fatal at pod-scale per-shard burn-in
-        capacities: T_local ~ 190M at 3 Gbp on 16 chips)."""
+        [shard_start, shard_end] — (dim, 2, B) block-axis-minor layout
+        (the position-major (B, dim, 2) form pads its minor 2 to a full
+        (8, 128) tile — 64x HBM inflation, fatal at pod-scale per-shard
+        burn-in capacities: T_local ~ 190M at 3 Gbp on 16 chips). FOUR
+        minor-axis gathers total: TPU gathers carry ~0.1 ms fixed per-op
+        cost inside a scanned sweep, so op count beats per-component
+        1-D formulations (see ops.blocks.block_sufficient_stats_t)."""
         ls = s_glob - shard_start
         le = e_glob - shard_start
         cs = (s_glob >> cell_bits).astype(jnp.int32)
         ce = (e_glob >> cell_bits).astype(jnp.int32)
-        comps = []
-        for d in range(dim):
-            for c in range(2):
-                r1 = r_l[2 * d + c]
-                qh = q2_hi[:, d, c]
-                ql = q2_lo[:, d, c]
-                comps.append(
-                    (r1[ls] - r1[le])
-                    + ((qh[ce] - qh[cs]) + (ql[ce] - ql[cs]))
-                )
-        return jnp.stack(comps).reshape(dim, 2, -1)
+        r_s = r3[:, :, ls]  # (dim, 2, B)
+        r_e = r3[:, :, le]
+        q_s = q2c[:, :, :, cs]  # (2, dim, 2, B)
+        q_e = q2c[:, :, :, ce]
+        qd = q_e - q_s
+        return (r_s - r_e) + (qd[0] + qd[1])
 
     def query(s_glob, e_glob):
         """Scalar-endpoint query -> (dim, 2) (the per-shard head stats)."""
