@@ -251,6 +251,11 @@ def block_sufficient_stats(
     )
 
 
+#: static capacity above which the block-stat query uses per-component 1-D
+#: gathers instead of the fused minor-axis form (see the function body)
+_BS_FUSED_MAX_CAP = 1 << 23
+
+
 def block_sufficient_stats_t(
     prefix: PrefixStats, blocks: BlockStructure, cell_bits: int = CELL_BITS
 ) -> jax.Array:
@@ -268,6 +273,26 @@ def block_sufficient_stats_t(
     s = blocks.starts
     cs = (s >> cell_bits).astype(jnp.int32)
     ce_last = prefix.T >> cell_bits  # cell index of the final end (= T)
+    if s.shape[0] > _BS_FUSED_MAX_CAP:
+        # near-T burn-in capacities: the fused minor-axis gathers crashed
+        # the remote TPU compiler at B=64M; per-component 1-D gathers
+        # compile and their per-op overhead is irrelevant in these rare
+        # compute-dominated programs
+        dim = prefix.dim
+        comps = []
+        for d in range(dim):
+            for c in range(2):
+                r1 = prefix.r_t[d, c]
+                qh = prefix.q2_hi[:, d, c]
+                ql = prefix.q2_lo[:, d, c]
+                r_s1 = r1[s]
+                r_e1 = jnp.concatenate([r_s1[1:], jnp.zeros_like(r_s1[:1])])
+                qh_s = qh[cs]
+                ql_s = ql[cs]
+                qh_e = jnp.concatenate([qh_s[1:], qh[ce_last][None]])
+                ql_e = jnp.concatenate([ql_s[1:], ql[ce_last][None]])
+                comps.append((r_s1 - r_e1) + ((qh_e - qh_s) + (ql_e - ql_s)))
+        return jnp.stack(comps).reshape(dim, 2, s.shape[0])
     r_s = prefix.r_t[:, :, s]  # (dim, 2, B)
     # r[ends[b]] = r[starts[b+1]]; r[ends[-1]] = r[T] = 0
     r_e = jnp.concatenate(

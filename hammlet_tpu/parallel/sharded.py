@@ -136,6 +136,23 @@ def _sharded_sweep_body(
         le = e_glob - shard_start
         cs = (s_glob >> cell_bits).astype(jnp.int32)
         ce = (e_glob >> cell_bits).astype(jnp.int32)
+        from hammlet_tpu.ops.blocks import _BS_FUSED_MAX_CAP
+
+        if s_glob.shape[0] > _BS_FUSED_MAX_CAP:
+            # near-T_local burn-in capacities: per-component 1-D gathers
+            # (the fused minor-axis form crashed the remote TPU compiler
+            # at B=64M; see ops.blocks.block_sufficient_stats_t)
+            comps = []
+            for d in range(dim):
+                for c in range(2):
+                    r1 = r3[d, c]
+                    qh = q2_hi[:, d, c]
+                    ql = q2_lo[:, d, c]
+                    comps.append(
+                        (r1[ls] - r1[le])
+                        + ((qh[ce] - qh[cs]) + (ql[ce] - ql[cs]))
+                    )
+            return jnp.stack(comps).reshape(dim, 2, -1)
         r_s = r3[:, :, ls]  # (dim, 2, B)
         r_e = r3[:, :, le]
         q_s = q2c[:, :, :, cs]  # (2, dim, 2, B)
