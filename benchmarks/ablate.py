@@ -40,6 +40,8 @@ from hammlet_tpu.samplers.sweep import (  # noqa: E402
 
 N_ITERS = 32
 
+RESULTS: list[tuple] = []  # (name, ms_per_sweep) in run order
+
 
 def timed(name, fn, *args):
     out = fn(*args)  # compile
@@ -52,6 +54,7 @@ def timed(name, fn, *args):
         best = min(best, time.time() - t0)
     per_sweep = best / N_ITERS * 1e3
     print(f"{name:34s} {per_sweep:8.3f} ms/sweep", flush=True)
+    RESULTS.append((name, round(per_sweep, 4)))
     return per_sweep
 
 
@@ -221,6 +224,34 @@ def main():
 
     if "micro" in sys.argv:
         micro(eng, cap, key0)
+
+    if "save" in sys.argv:
+        import json
+
+        stages = [r for r in RESULTS]
+        out = {
+            "T": int(T),
+            "settled_capacity": int(cap),
+            "n_iters_per_scan": N_ITERS,
+            "stages_ms_per_sweep": dict(stages),
+            "note": (
+                "stages are cumulative prefixes of the F sweep; the "
+                "baseline 'threshold+blocks' already sits at the "
+                "scan-iteration floor (~1 ms on the tunnel-attached v5e "
+                "chip: fixed per-op dispatch cost inside lax.scan "
+                "dominates — the arithmetic at settled capacity is tens "
+                "of microseconds), so the sweep cost is overhead-bound, "
+                "not FLOP-bound; the record stage's extra cost is the "
+                "marginal scatters, paid only on recording sweeps "
+                "(1/thinning of all sweeps)"
+            ),
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ABLATE_r04.json",
+        )
+        json.dump(out, open(path, "w"), indent=1)
+        print(f"wrote {path}", flush=True)
 
 
 def micro(eng, cap, key0):

@@ -93,14 +93,16 @@ def breakpoint_weights(coeffs: jax.Array) -> jax.Array:
         I2 = 2 * interval
         m = cpad[interval::I2]  # raw centers: odd multiples of I, (p/I2,)
         nm = m.shape[0]  # == A.shape[0] == p // I2
-        k = np.arange(nm)
-        center_pos = (2 * k + 1) * interval
+        # masks via on-device iota: np.arange-derived masks embed (p/I2,)
+        # CONSTANT LITERALS in the HLO — ~134 MB at T=250M, which crashed
+        # the remote TPU compiler outright
+        kj = jax.lax.iota(jnp.int32, nm)
+        center_pos = (2 * kj + 1) * jnp.int32(interval)  # < p <= 2^30: int32-safe
         # node exists iff its center is a data position; its right edge
         # (2k+2)*I must also lie inside [0, T) to propagate, else the node
         # and its left edge become inf (wavelet support incomplete)
-        active = center_pos < T
-        cond = jnp.asarray(active & (center_pos + interval < T))
-        activej = jnp.asarray(active)
+        activej = center_pos < T
+        cond = activej & (center_pos + jnp.int32(interval) < T)
         left_contrib = jnp.where(cond, m, -jnp.inf)
         force_inf = jnp.where(activej & ~cond, jnp.inf, -jnp.inf)
         newA = jnp.maximum(A, jnp.maximum(left_contrib, force_inf))

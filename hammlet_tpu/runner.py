@@ -281,6 +281,27 @@ def ingest(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas", "wm"))
+def _ingest_maxlet_program(data, use_pallas: bool, wm: float):
+    """Maxlet + noise + breakpoint weights WITHOUT the ranking argsort —
+    the >=128M split of _ingest_transform_program (at 250M the combined
+    program's transform chain + sort workspace crashed the TPU worker;
+    separately each peaks well under HBM)."""
+    if use_pallas:
+        from hammlet_tpu.ops.wavelet_pallas import maxlet_transform_pallas
+
+        coeffs = maxlet_transform_pallas(data)
+    else:
+        coeffs = maxlet_transform(data)
+    Tc_ = coeffs.shape[0]
+    odd = (jax.lax.iota(jnp.int32, Tc_) & 1) == 1
+    odd_mean = jnp.sum(jnp.where(odd, coeffs, 0.0)) / (Tc_ // 2)
+    weights = breakpoint_weights(coeffs)
+    if wm != 1.0:
+        weights = weights * jnp.float32(wm)
+    return odd_mean, weights
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas", "wm"))
 def _ingest_transform_program(data, use_pallas: bool, wm: float):
     """Maxlet transform + finest-level noise reduction + breakpoint
     weights + weight ranking (argsort) as ONE compiled program. Setup
@@ -354,9 +375,17 @@ def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
         "HAMMLET_PALLAS_MAXLET",
         "1" if jax.default_backend() not in ("cpu", "gpu") else "0",
     ) == "1"
-    odd_mean, weights, ranked = _ingest_transform_program(
-        data_dev, use_pallas, float(weight_multiplier)
-    )
+    if T > (1 << 27):
+        # very large T: keep the transform chain and the ranking argsort in
+        # separate programs (their combined peak crashed the worker at 250M)
+        odd_mean, weights = _ingest_maxlet_program(
+            data_dev, use_pallas, float(weight_multiplier)
+        )
+        ranked = build_ranked_weights_device(weights)
+    else:
+        odd_mean, weights, ranked = _ingest_transform_program(
+            data_dev, use_pallas, float(weight_multiplier)
+        )
     r_t, totals = _ingest_prefix_program(data_dev, DEVICE_CELL_BITS)
     noise = float(odd_mean) / 0.7978845608028654
     # tiny host round trip: exact float64 cross-cell prefix from the
