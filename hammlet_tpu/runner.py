@@ -280,25 +280,19 @@ def ingest(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "wm"))
-def _ingest_maxlet_program(data, use_pallas: bool, wm: float):
-    """Maxlet + noise + breakpoint weights WITHOUT the ranking argsort —
-    the >=128M split of _ingest_transform_program (at 250M the combined
-    program's transform chain + sort workspace crashed the TPU worker;
-    separately each peaks well under HBM)."""
-    if use_pallas:
-        from hammlet_tpu.ops.wavelet_pallas import maxlet_transform_pallas
-
-        coeffs = maxlet_transform_pallas(data)
-    else:
-        coeffs = maxlet_transform(data)
+@jax.jit
+def _odd_coeff_mean(coeffs):
+    """Mean of the odd-position (finest-level) maxlet coefficients —
+    masked full-length reduction (no minor-dim-2 reshape, no stride-2
+    slice; see _ingest_transform_program)."""
     Tc_ = coeffs.shape[0]
     odd = (jax.lax.iota(jnp.int32, Tc_) & 1) == 1
-    odd_mean = jnp.sum(jnp.where(odd, coeffs, 0.0)) / (Tc_ // 2)
-    weights = breakpoint_weights(coeffs)
-    if wm != 1.0:
-        weights = weights * jnp.float32(wm)
-    return odd_mean, weights
+    return jnp.sum(jnp.where(odd, coeffs, 0.0)) / (Tc_ // 2)
+
+
+@jax.jit
+def _scale_weights(w, m):
+    return w * m
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas", "wm"))
@@ -376,11 +370,21 @@ def ingest_device(data: np.ndarray, weight_multiplier: float = 1.0) -> Ingest:
         "1" if jax.default_backend() not in ("cpu", "gpu") else "0",
     ) == "1"
     if T > (1 << 27):
-        # very large T: keep the transform chain and the ranking argsort in
-        # separate programs (their combined peak crashed the worker at 250M)
-        odd_mean, weights = _ingest_maxlet_program(
-            data_dev, use_pallas, float(weight_multiplier)
-        )
+        # very large T: run every ingest stage as its OWN program — the
+        # fused transform program reproducibly crashed the TPU worker at
+        # 250M while each standalone stage (maxlet / noise / weights /
+        # argsort / prefix) is proven there; the extra dispatches cost a
+        # few tunnel round trips, irrelevant at this scale
+        if use_pallas:
+            from hammlet_tpu.ops.wavelet_pallas import maxlet_transform_pallas
+
+            coeffs = maxlet_transform_pallas(data_dev)
+        else:
+            coeffs = maxlet_transform(data_dev)
+        odd_mean = _odd_coeff_mean(coeffs)
+        weights = breakpoint_weights(coeffs)
+        if weight_multiplier != 1.0:
+            weights = _scale_weights(weights, jnp.float32(weight_multiplier))
         ranked = build_ranked_weights_device(weights)
     else:
         odd_mean, weights, ranked = _ingest_transform_program(
