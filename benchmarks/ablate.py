@@ -1,11 +1,19 @@
 """Per-sweep cost breakdown at settled capacity (run on the real TPU).
 
-Times scanned 32-iteration sub-programs of the Gibbs sweep so tunnel
-dispatch latency amortizes. Every stage's inputs are perturbed from the
+Times scanned sub-programs of the Gibbs sweep at TWO scan lengths (32 and
+256 iterations) and derives each stage's TRUE per-iteration cost from the
+slope (t_256 - t_32) / 224: a single dispatch of a scanned program over
+the remote TPU tunnel costs a fixed ~20-30 ms round trip, which at 32
+iterations masquerades as ~0.8 ms/sweep of phantom per-op cost — the
+round-4 ablation divided it into every stage and produced non-monotone
+cumulative numbers. The intercept (t_32 - 32*slope) is reported separately
+as the per-dispatch overhead. Each (stage, length) point is the best of 3
+measurements taken in interleaved A/B/C...A/B/C order so tunnel drift hits
+every stage equally. Every stage's inputs are perturbed from the
 per-iteration RNG key so XLA cannot hoist loop-invariant work out of the
 scan (which would silently zero a stage's cost).
 
-Usage:  timeout 1800 python benchmarks/ablate.py [micro]
+Usage:  timeout 3600 python -u benchmarks/ablate.py [micro] [save]
 Env:    HAMMLET_BENCH_T (default 4_000_000)
 """
 
@@ -38,24 +46,53 @@ from hammlet_tpu.samplers.sweep import (  # noqa: E402
     record_sweep,
 )
 
-N_ITERS = 32
+N_ITERS = 32  # short scan length (micro mode still uses this alone)
+N_LONG = 256  # long scan length for the dispatch/per-iteration split
+N_REPS = 3
 
-RESULTS: list[tuple] = []  # (name, ms_per_sweep) in run order
+RESULTS: list[tuple] = []  # (name, per_iter_ms, dispatch_ms, spread_ms)
 
 
 def timed(name, fn, *args):
+    """Single-length timing (micro mode): raw ms per scan iteration at
+    N_ITERS, tunnel dispatch included."""
     out = fn(*args)  # compile
     jax.block_until_ready(out)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(N_REPS):
         t0 = time.time()
         out = fn(*args)
         jax.block_until_ready(out)
         best = min(best, time.time() - t0)
     per_sweep = best / N_ITERS * 1e3
-    print(f"{name:34s} {per_sweep:8.3f} ms/sweep", flush=True)
-    RESULTS.append((name, round(per_sweep, 4)))
+    print(f"{name:34s} {per_sweep:8.3f} ms/sweep (incl. dispatch)",
+          flush=True)
     return per_sweep
+
+
+def timed_pair(stages_compiled):
+    """Interleaved best-of-N_REPS at both scan lengths for every stage;
+    returns {name: (per_iter_ms, dispatch_ms, spread_ms)}."""
+    best = {}
+    samples = {}
+    for rep in range(N_REPS):
+        for name, n, fn, args in stages_compiled:
+            t0 = time.time()
+            jax.block_until_ready(fn(*args))
+            dt = time.time() - t0
+            key = (name, n)
+            best[key] = min(best.get(key, float("inf")), dt)
+            samples.setdefault(key, []).append(dt)
+    out = {}
+    for name in {n for n, _, _, _ in stages_compiled}:
+        t_short, t_long = best[(name, N_ITERS)], best[(name, N_LONG)]
+        per_iter = (t_long - t_short) / (N_LONG - N_ITERS) * 1e3
+        dispatch = (t_short - N_ITERS * per_iter / 1e3) * 1e3
+        spread = (
+            max(samples[(name, N_LONG)]) - min(samples[(name, N_LONG)])
+        ) / N_LONG * 1e3
+        out[name] = (per_iter, dispatch, spread)
+    return out
 
 
 def main():
@@ -80,7 +117,7 @@ def main():
     cell_bits = eng.ing.cell_bits
     key0 = jax.random.PRNGKey(123)
 
-    def scan_harness(step):
+    def scan_harness(step, n_iters=N_ITERS):
         @jax.jit
         def run(model, buffers):
             def body(carry, i):
@@ -90,7 +127,7 @@ def main():
                 return (model, buffers, acc + acc2), ()
 
             (model, buffers, acc), _ = jax.lax.scan(
-                body, (model, buffers, jnp.float32(0)), jnp.arange(N_ITERS)
+                body, (model, buffers, jnp.float32(0)), jnp.arange(n_iters)
             )
             return model, buffers, acc
 
@@ -219,8 +256,27 @@ def main():
         ("+record (full F sweep)", stage_record),
         ("mixture sweep (no rec)", stage_mixture),
     ]
+    # compile every (stage, length) program up front (compiles are cached;
+    # measurement then runs interleaved so tunnel drift is shared)
+    compiled = []
     for name, step in stages:
-        timed(name, scan_harness(step), model0, buffers)
+        for n in (N_ITERS, N_LONG):
+            log(f"compiling {name} @ {n}")
+            fn = scan_harness(step, n)
+            jax.block_until_ready(fn(model0, buffers))
+            compiled.append((name, n, fn, (model0, buffers)))
+    log("measuring (interleaved)")
+    split = timed_pair(compiled)
+    for name, _ in stages:
+        per_iter, dispatch, spread = split[name]
+        print(
+            f"{name:34s} {per_iter:8.3f} ms/sweep "
+            f"(+{dispatch:5.1f} ms/dispatch, spread {spread:.3f})",
+            flush=True,
+        )
+        RESULTS.append(
+            (name, round(per_iter, 4), round(dispatch, 2), round(spread, 4))
+        )
 
     if "micro" in sys.argv:
         micro(eng, cap, key0)
@@ -228,27 +284,32 @@ def main():
     if "save" in sys.argv:
         import json
 
-        stages = [r for r in RESULTS]
         out = {
             "T": int(T),
             "settled_capacity": int(cap),
-            "n_iters_per_scan": N_ITERS,
-            "stages_ms_per_sweep": dict(stages),
+            "scan_lengths": [N_ITERS, N_LONG],
+            "reps_per_point": N_REPS,
+            "stages": {
+                name: {
+                    "per_iter_ms": p,
+                    "dispatch_ms": d,
+                    "long_scan_spread_ms_per_iter": s,
+                }
+                for name, p, d, s in RESULTS
+            },
             "note": (
-                "stages are cumulative prefixes of the F sweep; the "
-                "baseline 'threshold+blocks' already sits at the "
-                "scan-iteration floor (~1 ms on the tunnel-attached v5e "
-                "chip: fixed per-op dispatch cost inside lax.scan "
-                "dominates — the arithmetic at settled capacity is tens "
-                "of microseconds), so the sweep cost is overhead-bound, "
-                "not FLOP-bound; the record stage's extra cost is the "
-                "marginal scatters, paid only on recording sweeps "
-                "(1/thinning of all sweeps)"
+                "stages are cumulative prefixes of the F sweep. per_iter_ms "
+                "is the slope between 32- and 256-iteration scans of the "
+                "same body — the true on-device cost of one sweep at this "
+                "stage, with the per-dispatch tunnel round trip (reported "
+                "as dispatch_ms) removed; the round-4 ablation's "
+                "non-monotone cumulative stages were that round trip "
+                "divided by 32 drowning the per-stage deltas"
             ),
         }
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "ABLATE_r04.json",
+            "ABLATE_r05.json",
         )
         json.dump(out, open(path, "w"), indent=1)
         print(f"wrote {path}", flush=True)

@@ -5,11 +5,12 @@ The reference claims ~100,000,000 points feasible on a laptop
 ~250M-position WGS chromosome. This harness drives the REAL CLI front door
 (bin/hammlet) on a T-position synthetic WGS file with marginals output,
 records wall times per stage plus the CLI-reported sweep throughput, and
-writes BENCH_bigrun_r04.json at the repo root.
+writes BENCH_bigrun<T/1M>_r05.json at the repo root.
 
 Usage:  timeout 7200 python -u benchmarks/bigrun.py
 Env:    HAMMLET_BIGRUN_T       (default 100_000_000)
         HAMMLET_BIGRUN_SCHEME  (default "M 64 0 F 100 4")
+        HAMMLET_BIGRUN_OUT     (default BENCH_bigrun<T/1M>_r05.json)
 """
 
 from __future__ import annotations
@@ -112,10 +113,18 @@ def main() -> int:
         "recorded_sweeps_per_row": n_rec,
         "final_compression_ratio": comp[-1] if comp else None,
         "positions_per_second": round(sps * T, 0) if sps else None,
+        "capacity_ceiling": int(os.environ.get("HAMMLET_MAX_CAPACITY", 0))
+        or (1 << 25),
+        "burnin_note": "burn-in chunks above the capacity ceiling run "
+        "TRUNCATED to the top-capacity ranked weights (runner._MAX_CAPACITY"
+        "; recording sweeps are never truncated) — this bounds the "
+        "transient HBM working set that OOMed T>=250M in round 4",
     }
     print(json.dumps(out), flush=True)
-    json.dump(out, open(os.path.join(REPO, "BENCH_bigrun_r04.json"), "w"),
-              indent=1)
+    name = os.environ.get(
+        "HAMMLET_BIGRUN_OUT", f"BENCH_bigrun{T // 1_000_000}_r05.json"
+    )
+    json.dump(out, open(os.path.join(REPO, name), "w"), indent=1)
     return 0
 
 

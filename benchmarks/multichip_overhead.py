@@ -1,0 +1,122 @@
+"""Sharded per-sweep overhead: P=1 vs P=8 on the SAME backend at the same T.
+
+The north-star projection (benchmarks/northstar.py) assumes a flat
++1 ms/sweep for cross-shard collectives. An 8-virtual-device CPU mesh
+cannot measure ICI bandwidth, but it CAN measure everything else the
+sharded engine adds per sweep — the cross-shard log-depth prefix/suffix
+scans, the head-stat exchange, the per-shard block bookkeeping — by
+running the same data and scheme through the single-device engine and the
+sharded engine on the same (CPU) backend and differencing the settled
+per-sweep cost. That difference is an upper bound on the protocol
+overhead c_coll at CPU-collective latencies.
+
+Writes MULTICHIP_bench_r05.json at the repo root.
+
+Usage:  timeout 3600 python -u benchmarks/multichip_overhead.py
+        (do NOT overlap with a TPU bench: the build host has 2 cores and
+        host-side starvation corrupts both measurements)
+"""
+
+import json
+import os
+import sys
+import time
+
+# force the CPU backend with 8 virtual devices BEFORE jax imports (the
+# shell presets a remote-TPU plugin via JAX_PLATFORMS/PYTHONPATH)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PYTHONPATH", None)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def log(msg):
+    print(f"[mc-bench +{time.time() - _T0:.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.time()
+
+T = int(os.environ.get("HAMMLET_MC_T", 2_000_000))
+SWEEPS = int(os.environ.get("HAMMLET_MC_SWEEPS", 128))
+BURNIN = 64
+SEGLEN = 500
+
+
+def synth(T, seed=0):
+    rng = np.random.default_rng(seed)
+    means = np.array([0.0, 2.0, -2.0])
+    n_seg = max(1, T // SEGLEN)
+    state = rng.integers(0, 3, size=n_seg)
+    reps = np.full(n_seg, SEGLEN)
+    reps[-1] = T - SEGLEN * (n_seg - 1)
+    mu = np.repeat(means[state], reps)
+    return (mu + rng.normal(0, 1, size=T)).astype(np.float32)
+
+
+def settle_and_measure(eng, label):
+    from hammlet_tpu.runner import PHASE_CHUNK
+
+    eng.run("M", BURNIN, 0)
+    eng.run("F", 2 * PHASE_CHUNK, 0)  # settle capacity + compile measured prog
+    log(f"{label}: warm, capacity "
+        f"{getattr(eng, 'capacity', getattr(eng, 'cap_local', None))}")
+    best = float("inf")
+    for _ in range(3):
+        eng.total_sweeps = 0.0
+        eng.sample_time = 0.0
+        eng.run("F", SWEEPS, 0)
+        best = min(best, eng.sample_time / SWEEPS)
+    return best * 1e3  # ms/sweep
+
+
+def main():
+    from hammlet_tpu.parallel.mesh import position_mesh
+    from hammlet_tpu.parallel.sharded import make_sharded_engine
+    from hammlet_tpu.runner import make_engine
+
+    data = synth(T)
+    log(f"data ready: {T} positions; building P=1 engine")
+    e1 = make_engine(data, nr_params=3, seed=0)
+    ms1 = settle_and_measure(e1, "P=1")
+    log(f"P=1: {ms1:.3f} ms/sweep; building P=8 engine")
+    e8 = make_sharded_engine(data, mesh=position_mesh(8), nr_params=3, seed=0)
+    ms8 = settle_and_measure(e8, "P=8")
+    log(f"P=8: {ms8:.3f} ms/sweep")
+
+    out = {
+        "metric": "sharded per-sweep overhead, P=8 vs P=1, same T, same "
+        "(CPU) backend — empirical bound on the north-star projection's "
+        "assumed +1 ms/sweep collectives term (benchmarks/northstar.py)",
+        "backend": "cpu (8 virtual devices; 2 physical cores — absolute "
+        "times are oversubscribed, the DELTA is the signal)",
+        "T": T,
+        "settled_sweep_ms_p1": round(ms1, 3),
+        "settled_sweep_ms_p8": round(ms8, 3),
+        "overhead_ms_per_sweep": round(ms8 - ms1, 3),
+        "capacity_p1": int(e1.capacity),
+        "cap_local_p8": int(e8.cap_local),
+        "note": "P=8 shards hold T/8 positions each, so the sharded "
+        "engine's per-shard compute is ~1/8 of P=1's; any positive delta "
+        "is protocol overhead (cross-shard scans, head-stat exchange, "
+        "8-way dispatch) paid at CPU-collective latencies. On ICI the "
+        "collective latency term is strictly smaller.",
+    }
+    print(json.dumps(out), flush=True)
+    json.dump(out, open(os.path.join(REPO, "MULTICHIP_bench_r05.json"), "w"),
+              indent=1)
+
+
+if __name__ == "__main__":
+    main()

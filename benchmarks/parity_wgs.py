@@ -4,7 +4,7 @@ The exact config of tests/test_parity_stat.py::test_parity_wgs_chain
 (BASELINE config 3: single-chromosome WGS depth-of-coverage chain) at a
 genuinely large T, judged by the same MC-envelope harness
 (hammlet_tpu.golden.parity): our CLI run's marginals must sit within the
-reference-vs-reference seed envelope. Writes PARITY_wgs_r04.json at the
+reference-vs-reference seed envelope. Writes PARITY_wgs_r05.json at the
 repo root with the full report dict + acceptance bound.
 
 Ours runs on whatever backend is active (the real TPU under the tunnel);
@@ -101,7 +101,7 @@ def main() -> int:
     print(json.dumps(rep_out), flush=True)
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "PARITY_wgs_r04.json",
+        "PARITY_wgs_r05.json",
     )
     json.dump(rep_out, open(out, "w"), indent=1)
     assert rep_out["pass"], rep_out

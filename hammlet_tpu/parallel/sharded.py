@@ -823,6 +823,14 @@ class ShardedEngine:
         self._static_threshold = 0.0  # host float: passed per chunk
         self._mapping_np = self.spec.mapping()
         self._sweeps = {}
+        # per-shard capacity ceiling (mirrors runner._MAX_CAPACITY: the ~T
+        # burn-in capacity would OOM HBM at genome-scale T_local; burn-in
+        # chunks overflowing the ceiling are accepted truncated)
+        from hammlet_tpu.runner import _MAX_CAPACITY
+
+        self.max_cap_local = max(
+            min(self.T_local, _MAX_CAPACITY), self.cap_local
+        )
 
     def _next_key(self):
         self.sweep_counter += 1
@@ -958,7 +966,8 @@ class ShardedEngine:
         from hammlet_tpu.runner import _round_capacity
 
         self.cap_local = min(
-            self.T_local, _round_capacity(nb + nb // 8 + 64)
+            self.T_local, self.max_cap_local,
+            _round_capacity(nb + nb // 8 + 64),
         )
 
     def run(self, method: str, iterations: int, thinning: int, start: int = 0):
@@ -1058,9 +1067,26 @@ class ShardedEngine:
                     self.counts, self.everb = counts, everb
                     self.model, self.n_rec, self.n_bound = model, n_rec, n_bound
                     break
-                self.cap_local = min(
-                    self.T_local, _round_capacity(2 * max_nb)
+                grown = min(
+                    self.T_local, self.max_cap_local,
+                    _round_capacity(2 * max_nb),
                 )
+                if grown <= self.cap_local:
+                    # at the per-shard capacity ceiling: accept truncated
+                    # burn-in chunks (the device program reduced each
+                    # overflowing shard to its top-cap_local weights and
+                    # masked recording); recording chunks must be exact
+                    if rec_s:
+                        raise RuntimeError(
+                            f"recording sweep needs {max_nb} blocks on its "
+                            f"worst shard but the capacity ceiling is "
+                            f"{self.cap_local} (HAMMLET_MAX_CAPACITY); raise "
+                            "the ceiling or extend burn-in"
+                        )
+                    self.counts, self.everb = counts, everb
+                    self.model, self.n_rec, self.n_bound = model, n_rec, n_bound
+                    break
+                self.cap_local = grown
                 # replay the chunk (same counter) from the in-graph snapshot
                 if prev is not None:
                     (self.counts, self.everb, self.n_rec,
@@ -1079,7 +1105,8 @@ class ShardedEngine:
             # runner.Engine: ~linear per-sweep cost in cap_local; grows
             # back via same-key replay on overflow)
             target = min(
-                self.T_local, _round_capacity(max_nb + max_nb // 8 + 64)
+                self.T_local, self.max_cap_local,
+                _round_capacity(max_nb + max_nb // 8 + 64),
             )
             if target < self.cap_local:
                 self.cap_local = target
@@ -1341,7 +1368,14 @@ def make_sharded_engine(
     priors = HMMPriors.create(nig, spec.nr_states, trans, self_trans, initial_alpha)
 
     if cap_local is None:
-        cap_local = min(T_local, max(64, 4 * ing.nb0 // n_shards + 64))
+        from hammlet_tpu.runner import _MAX_CAPACITY
+
+        # clamp the initial sizing by the capacity ceiling too (mirrors
+        # runner.Engine.__post_init__): the prior-threshold boundary count
+        # is ~T, and a first chunk at ~T_local capacity OOMs at genome scale
+        cap_local = min(
+            T_local, _MAX_CAPACITY, max(64, 4 * ing.nb0 // n_shards + 64)
+        )
 
     return ShardedEngine(
         mesh=mesh,

@@ -82,6 +82,24 @@ def parse_scheme(tokens: list[str]) -> list[tuple]:
 #: ladder and bigger overflow replays (both rare after burn-in).
 PHASE_CHUNK = int(__import__("os").environ.get("HAMMLET_PHASE_CHUNK", 128))
 
+#: hard ceiling on the compiled block capacity (env-overridable). The first
+#: post-prior burn-in sweeps genuinely have ~T blocks (the threshold is near
+#: zero right after a prior draw — the reference pays the same ~T-block
+#: sweeps, HMM.hpp:99-121), but a sweep at capacity ~T allocates O(K*K*cap)
+#: transients: at T=250M that exhausts a 16 GB v5e HBM during burn-in even
+#: though the post-burn-in working set is tiny. Capacity is therefore capped
+#: at 2^25 (~1.2 GB of FB transients at K=3): a burn-in chunk that overflows
+#: the ceiling is ACCEPTED TRUNCATED — the device program already reduces to
+#: the top-capacity ranked weights when n_blocks > capacity
+#: (make_blocks_bucketed) — which just means those first sweeps run at an
+#: effectively higher threshold; the dynamic threshold rises within a few
+#: sweeps and exact blocks resume. Recording sweeps are never truncated
+#: (their in-graph record predicate masks on overflow, and the driver raises
+#: instead of accepting).
+_MAX_CAPACITY = int(
+    __import__("os").environ.get("HAMMLET_MAX_CAPACITY", 0)
+) or (1 << 25)
+
 
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persist XLA compilations across processes (helps enormously on
@@ -432,6 +450,7 @@ class Engine:
     capacity: int | None = None
     checkpoint_path: str | None = None
     checkpoint_every: int = 0  # sweeps between checkpoints (0 = off)
+    max_capacity: int | None = None  # ceiling (None = _MAX_CAPACITY)
 
     model: HMMState = field(init=False)
     buffers: RecordBuffers = field(init=False)
@@ -456,12 +475,20 @@ class Engine:
         self.model = sample_from_priors(self._next_key(), self.priors)
         self._dynamic = True
         self._static_threshold = 0.0  # host float: passed per chunk
+        # capacity ceiling: explicit capacities above the default ceiling
+        # are honored (the caller knows better)
+        self.max_capacity = max(
+            min(self.ing.T, self.max_capacity or _MAX_CAPACITY),
+            self.capacity or 0,
+        )
         if self.capacity is None:
             # size for the prior-threshold block structure with headroom
             nb = self.ing.count_boundaries(
                 threshold_host(self.model.theta_var, self.ing.T)
             )
-            self.capacity = min(self.ing.T, _round_capacity(2 * nb + 64))
+            self.capacity = min(
+                self.ing.T, self.max_capacity, _round_capacity(2 * nb + 64)
+            )
 
     def _next_key(self) -> jax.Array:
         self.sweep_counter += 1
@@ -522,7 +549,7 @@ class Engine:
         )
         nb = self.ing.count_boundaries(thr)
         self.capacity = min(
-            self.ing.T, _round_capacity(nb + nb // 8 + 64)
+            self.ing.T, self.max_capacity, _round_capacity(nb + nb // 8 + 64)
         )
 
     def _max_chunk(self) -> int:
@@ -633,7 +660,26 @@ class Engine:
                     self.model, self.buffers = model, buffers
                     self.last_n_blocks = int(diag_h[1])
                     break
-                self.capacity = min(self.ing.T, _round_capacity(2 * max_nb))
+                grown = min(
+                    self.ing.T, self.max_capacity, _round_capacity(2 * max_nb)
+                )
+                if grown <= self.capacity:
+                    # at the capacity ceiling. Burn-in (non-recording) chunks
+                    # are accepted TRUNCATED: the device program reduced to
+                    # the top-capacity ranked weights (an effectively higher
+                    # threshold for those sweeps; see _MAX_CAPACITY). A
+                    # recording chunk must be exact — fail with guidance.
+                    if rec_s:
+                        raise RuntimeError(
+                            f"recording sweep needs {max_nb} blocks but the "
+                            f"capacity ceiling is {self.capacity} "
+                            "(HAMMLET_MAX_CAPACITY); raise the ceiling or "
+                            "extend burn-in so the threshold settles first"
+                        )
+                    self.model, self.buffers = model, buffers
+                    self.last_n_blocks = min(int(diag_h[1]), self.capacity)
+                    break
+                self.capacity = grown
                 # replay the chunk (same counter) from the pre-chunk snapshot
                 # so recorded sweeps cannot double-record
                 self.buffers = prev if prev is not None else buffers
@@ -648,7 +694,11 @@ class Engine:
             # compiled capacity to track it (grows back via replay if needed).
             # 12.5% headroom: per-sweep cost is ~linear in capacity, and an
             # occasional overflow replay is cheaper than a permanent rung up
-            target = min(self.ing.T, _round_capacity(max_nb + max_nb // 8 + 64))
+            target = min(
+                self.ing.T,
+                self.max_capacity,
+                _round_capacity(max_nb + max_nb // 8 + 64),
+            )
             if target < self.capacity:
                 self.capacity = target
             pending = self._maybe_checkpoint(pending)
