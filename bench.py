@@ -27,7 +27,7 @@ def log(msg):
 _T0 = time.time()
 
 T = int(os.environ.get("HAMMLET_BENCH_T", 4_000_000))
-SWEEPS = int(os.environ.get("HAMMLET_BENCH_SWEEPS", 128))
+SWEEPS = int(os.environ.get("HAMMLET_BENCH_SWEEPS", 512))
 BURNIN = int(os.environ.get("HAMMLET_BENCH_BURNIN", 64))
 THIN = 4
 #: "marginals" (default) or "all" — "all" enables every reference record
@@ -73,7 +73,7 @@ def ensure_data():
 
 def bench_ours(data):
     from hammlet_tpu.io.records import Records
-    from hammlet_tpu.runner import PHASE_CHUNK, enable_compilation_cache, make_engine
+    from hammlet_tpu.runner import enable_compilation_cache, make_engine
 
     enable_compilation_cache()
 
@@ -100,10 +100,11 @@ def bench_ours(data):
     )
     eng.run("M", BURNIN, 0)  # burn-in (reference default scheme starts with M)
     log(f"burn-in done, capacity {eng.capacity}; warming F chunks")
-    # two warm chunks of the measured size: the first may shrink the block
+    # two warm rounds of the measured size: the first may shrink the block
     # capacity, the second compiles the measured program at the settled
-    # capacity
-    eng.run("F", 2 * PHASE_CHUNK, THIN)
+    # capacity (chunk length scales with capacity, runner._chunk_for_capacity)
+    eng.run("F", SWEEPS, THIN)
+    eng.run("F", SWEEPS, THIN)
     log(f"F warm, capacity {eng.capacity}; measuring")
     # tunnel dispatch latency is noisy at sub-second windows: measure two
     # rounds and report the better one

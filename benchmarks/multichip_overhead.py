@@ -66,10 +66,8 @@ def synth(T, seed=0):
 
 
 def settle_and_measure(eng, label):
-    from hammlet_tpu.runner import PHASE_CHUNK
-
     eng.run("M", BURNIN, 0)
-    eng.run("F", 2 * PHASE_CHUNK, 0)  # settle capacity + compile measured prog
+    eng.run("F", SWEEPS, 0)  # settle capacity + compile the measured program
     log(f"{label}: warm, capacity "
         f"{getattr(eng, 'capacity', getattr(eng, 'cap_local', None))}")
     best = float("inf")

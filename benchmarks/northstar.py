@@ -39,7 +39,7 @@ HBM_PER_CHIP = 16e9  # v5e
 
 def measure(T: int, sweeps: int, burnin: int, thin: int = 4) -> dict:
     from bench import SEGLEN, log, synth
-    from hammlet_tpu.runner import PHASE_CHUNK, enable_compilation_cache, make_engine
+    from hammlet_tpu.runner import enable_compilation_cache, make_engine
 
     enable_compilation_cache()
     log(f"[northstar] T={T}: generating data")
@@ -48,7 +48,8 @@ def measure(T: int, sweeps: int, burnin: int, thin: int = 4) -> dict:
     eng = make_engine(data, nr_params=3, seed=0)
     eng.run("M", burnin, 0)
     # two warm chunks so the block capacity settles before measurement
-    eng.run("F", 2 * PHASE_CHUNK, thin)
+    eng.run("F", 256, thin)
+    eng.run("F", 256, thin)
     best = 0.0
     for _ in range(2):
         eng.total_sweeps = 0.0

@@ -381,12 +381,24 @@ def make_blocks_bucketed(
     Identical to make_blocks_ranked for any threshold whose boundary count
     fits the bucket (otherwise n_blocks > capacity flags the overflow).
     Compaction of the valid candidates is an explicit cumsum + scatter
-    (jnp.nonzero lowers to a sort on TPU, measurably slower)."""
+    (jnp.nonzero lowers to a sort on TPU, measurably slower).
+
+    The boundary count is a SATURATING masked count over the top
+    capacity+1 ranked weights instead of a binary search over all T: one
+    vectorized compare+reduce (the searchsorted lowered to a ~log2(T)-step
+    sequential gather loop — tens of fixed-overhead ops per sweep on TPU).
+    Exact whenever the sweep fits the capacity (the only case whose count
+    is ever used: overflowing chunks are replayed or, during burn-in at
+    the capacity ceiling, truncated — and the replay driver re-prices the
+    true count host-side, runner.Engine._run_phase_scanned). The slice of
+    the sorted weights is loop-invariant and hoisted out of the sweep
+    scan by XLA."""
     T = ranked.pos_by_rank.shape[0]
     capacity = cand_rank.shape[0]
-    n_blocks = jnp.searchsorted(
-        ranked.neg_w_sorted, -threshold, side="right"
-    ).astype(jnp.int32)
+    neg_head = jax.lax.slice(
+        ranked.neg_w_sorted, (0,), (min(capacity + 1, T),)
+    )
+    n_blocks = jnp.sum(neg_head <= -threshold, dtype=jnp.int32)
     valid = cand_rank < n_blocks
     csum = jnp.cumsum(valid.astype(jnp.int32))
     sel = jnp.full((capacity,), capacity, jnp.int32)

@@ -167,8 +167,13 @@ def _sharded_sweep_body(
     thr = jnp.where(use_dynamic, model.threshold(T), static_threshold)
 
     # ---- local block boundaries (pre-sorted bucket candidates; the only
-    # per-sweep work is a binary search + masked nonzero) ----
-    nb_l = jnp.searchsorted(negw_l, -thr, side="right").astype(jnp.int32)
+    # per-sweep work is a saturating masked count + masked nonzero; exact
+    # whenever the sweep fits cap_local, which is the only case whose
+    # count is used — see ops.blocks.make_blocks_bucketed) ----
+    neg_head = jax.lax.slice(
+        negw_l, (0,), (min(cap_local + 1, negw_l.shape[0]),)
+    )
+    nb_l = jnp.sum(neg_head <= -thr, dtype=jnp.int32)
     valid_c = candrank_l < nb_l
     csum = jnp.cumsum(valid_c.astype(jnp.int32))
     sel = jnp.full((cap_local,), cap_local, jnp.int32)
@@ -929,19 +934,18 @@ class ShardedEngine:
             )
         return self._sweeps[ck]
 
-    def _resize_capacity_for_phase(self) -> None:
-        """Re-size cap_local to the CURRENT threshold's worst-shard
-        boundary count at a phase boundary (both directions; mirrors
-        runner.Engine._resize_capacity_for_phase — without this, the first
-        F chunk after burn-in compiles at the stale near-T_local capacity
-        left by the post-prior sweeps)."""
+    def _current_threshold(self) -> float:
         from hammlet_tpu.models.hmm import threshold_host
 
-        thr = (
+        return (
             self._static_threshold
             if not self._dynamic
             else threshold_host(self.model.theta_var, self.T)
         )
+
+    def _price_nb(self, thr: float) -> int:
+        """Worst-shard boundary count at a threshold (full per-shard
+        binary search; off the sweep path)."""
         if not hasattr(self, "_nb_fn"):
 
             def count(negw_l, t):  # per-shard (T_local,) under shard_map
@@ -962,9 +966,17 @@ class ShardedEngine:
         per_shard = _replicated_fetch(
             self.mesh, self._nb_fn(self.negw, jnp.float32(thr))
         )
-        nb = int(per_shard.max())
+        return int(per_shard.max())
+
+    def _resize_capacity_for_phase(self) -> None:
+        """Re-size cap_local to the CURRENT threshold's worst-shard
+        boundary count at a phase boundary (both directions; mirrors
+        runner.Engine._resize_capacity_for_phase — without this, the first
+        F chunk after burn-in compiles at the stale near-T_local capacity
+        left by the post-prior sweeps)."""
         from hammlet_tpu.runner import _round_capacity
 
+        nb = self._price_nb(self._current_threshold())
         self.cap_local = min(
             self.T_local, self.max_cap_local,
             _round_capacity(nb + nb // 8 + 64),
@@ -1003,7 +1015,11 @@ class ShardedEngine:
     def _run_phase_scanned(
         self, method: str, iterations: int, thinning: int, start: int = 0
     ):
-        from hammlet_tpu.runner import PHASE_CHUNK, _next_chunk, _round_capacity
+        from hammlet_tpu.runner import (
+            _chunk_for_capacity,
+            _next_chunk,
+            _round_capacity,
+        )
 
         recording = thinning > 0
         want_blocks = (
@@ -1019,11 +1035,12 @@ class ShardedEngine:
         while done < end:
             n, thin_s, rec_s = _next_chunk(
                 done, end, thinning if recording else 0,
-                # short chunks at huge per-shard capacities (mirrors
-                # runner.Engine._max_chunk: a long scan at ~T_local
-                # capacity crashes the remote compiler and delays the
-                # capacity ladder's first shrink)
-                8 if self.cap_local >= (1 << 23) else PHASE_CHUNK,
+                # capacity-scaled chunk length (mirrors
+                # runner.Engine._max_chunk: short chunks at huge per-shard
+                # capacities — a long scan at ~T_local capacity crashes
+                # the remote compiler — and long chunks at small
+                # capacities to amortize the fixed per-dispatch cost)
+                _chunk_for_capacity(self.cap_local),
             )
             self.sweep_counter += 1
             counter = self.sweep_counter  # fixed across overflow replays
@@ -1067,6 +1084,11 @@ class ShardedEngine:
                     self.counts, self.everb = counts, everb
                     self.model, self.n_rec, self.n_bound = model, n_rec, n_bound
                     break
+                # device-side per-shard counts saturate at cap_local+1;
+                # re-price the true worst-shard count at the pre-chunk
+                # threshold for a one-jump capacity grow (mirrors
+                # runner.Engine._run_phase_scanned)
+                max_nb = max(max_nb, self._price_nb(self._current_threshold()))
                 grown = min(
                     self.T_local, self.max_cap_local,
                     _round_capacity(2 * max_nb),

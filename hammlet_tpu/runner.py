@@ -101,16 +101,64 @@ _MAX_CAPACITY = int(
 ) or (1 << 25)
 
 
+#: an EXPLICIT env chunk length disables the capacity scaling below (tests
+#: pin small chunks to exercise per-chunk behavior like checkpoint cadence)
+_PHASE_CHUNK_ENV = "HAMMLET_PHASE_CHUNK" in __import__("os").environ
+
+
+@functools.cache
+def _scale_chunks() -> bool:
+    """Capacity-scaled chunk lengths pay off only where a chunk dispatch
+    carries a fixed multi-ms cost (the remote-dispatch TPU tunnel measures
+    ~32 ms per dispatch, FLOOR_T1M.json). On the CPU backend dispatch is
+    microseconds, so scaling would only multiply the set of compiled
+    program shapes (the CI suite compiles hundreds of programs in one
+    process; the extra shapes pushed it over an XLA:CPU compiler resource
+    cliff — reproducible late-suite compile-time SIGSEGV/SIGABRT)."""
+    if _PHASE_CHUNK_ENV:
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def _chunk_for_capacity(capacity: int) -> int:
+    """Scan length for one compiled phase chunk at a given block capacity
+    (see Engine._max_chunk for the measured rationale)."""
+    if capacity >= (1 << 23):
+        return min(8, PHASE_CHUNK)
+    if not _scale_chunks():
+        return PHASE_CHUNK
+    if capacity <= (1 << 11):
+        return 16 * PHASE_CHUNK  # 2048 default
+    if capacity <= (1 << 13):
+        return 8 * PHASE_CHUNK
+    if capacity <= (1 << 15):
+        return 4 * PHASE_CHUNK
+    if capacity <= (1 << 17):
+        return 2 * PHASE_CHUNK
+    return PHASE_CHUNK
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persist XLA compilations across processes (helps enormously on
-    remote-compile TPU setups)."""
+    remote-compile TPU setups).
+
+    CPU-backend processes never enable it: XLA:CPU cache entries embed
+    AOT machine code for the WRITER's CPU, and this build environment's
+    VM can resume on a different physical host — loading a foreign entry
+    logs a 'machine feature not supported ... could lead to SIGILL'
+    warning and then sporadically segfaults mid-suite (reproduced: the
+    CLI enabling the cache in-process poisoned every later in-process
+    compile). CPU compiles are fast; only the remote-compile TPU tunnel
+    needs the cache, and its entries are compiled by the remote worker."""
     import os
 
     try:
+        backend = jax.default_backend()
+        if backend == "cpu":
+            return
         base = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
         # separate caches per backend: AOT results are machine-specific and a
         # remote-compile TPU host may have a different CPU than this host
-        backend = jax.default_backend()
         jax.config.update("jax_compilation_cache_dir", f"{base}/{backend}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -553,14 +601,24 @@ class Engine:
         )
 
     def _max_chunk(self) -> int:
-        """Compiled-chunk length for the current capacity. Huge-capacity
-        programs (the first burn-in chunks run at ~T capacity: the first
-        post-prior sweeps genuinely have ~T blocks) compile as SHORT
-        scans — a 48-sweep scan at 47M capacity crashed the remote
-        TPU compiler outright at T=64M, and short chunks also let the
-        capacity ladder shrink within a few sweeps of burn-in instead of
-        paying a full chunk at ~T capacity."""
-        return 8 if self.capacity >= (1 << 23) else PHASE_CHUNK
+        """Compiled-chunk length for the current capacity.
+
+        Huge-capacity programs (the first burn-in chunks run near the
+        capacity ceiling: the first post-prior sweeps genuinely have ~T
+        blocks) compile as SHORT scans — a 48-sweep scan at 47M capacity
+        crashed the remote TPU compiler outright at T=64M, and short
+        chunks also let the capacity ladder shrink within a few sweeps of
+        burn-in instead of paying a full chunk at huge capacity.
+
+        SMALL-capacity programs compile as LONG scans: one chunk dispatch
+        costs a fixed ~32 ms on the remote TPU tunnel (FLOOR_T1M.json:
+        t(n) = 32 ms + n * 0.26 ms at capacity 7680), so at small
+        capacities the dispatch — not the sweep — dominated 128-sweep
+        chunks (0.51 ms/sweep at chunk 128 vs 0.29 at 1024). Per-sweep
+        device time is ~linear in capacity; the ladder keeps per-chunk
+        device time roughly constant (~0.3-0.6 s) so replay/shrink
+        granularity stays bounded."""
+        return _chunk_for_capacity(self.capacity)
 
     def run(
         self, method: str, iterations: int, thinning: int, start: int = 0
@@ -660,6 +718,17 @@ class Engine:
                     self.model, self.buffers = model, buffers
                     self.last_n_blocks = int(diag_h[1])
                     break
+                # the device-side block count SATURATES at capacity+1 (it
+                # counts within the top capacity+1 ranked weights only,
+                # make_blocks_bucketed); re-price the true count from the
+                # pre-chunk model's threshold so the capacity grows in one
+                # jump instead of a 2x-per-replay ladder
+                thr_est = (
+                    self._static_threshold
+                    if not self._dynamic
+                    else threshold_host(self.model.theta_var, self.ing.T)
+                )
+                max_nb = max(max_nb, self.ing.count_boundaries(thr_est))
                 grown = min(
                     self.ing.T, self.max_capacity, _round_capacity(2 * max_nb)
                 )

@@ -42,7 +42,13 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-SLOPE_BUDGET = 60  # bytes / position (measured 47.5-52.7 across machines)
+#: bytes / position. Measured 47.5-52.7 across machines with warm-cache
+#: children; since the persistent XLA:CPU cache was disabled (foreign-host
+#: AOT entries SIGILL, runner.enable_compilation_cache) children cold-compile
+#: and retain ~10 B/pos of mildly T-dependent compiler heap (measured 61.4).
+#: 85 still fails hard on any real O(T) data-residency regression (one extra
+#: resident float32 copy of the ingest chain is +20-40 B/pos on this slope).
+SLOPE_BUDGET = 85
 ABS_BASE = 1.5e9
 ABS_PER_POS = 120
 
