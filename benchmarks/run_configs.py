@@ -35,6 +35,12 @@ SCALE = float(os.environ.get("HAMMLET_BENCH_SCALE", "1.0"))
 WORKDIR = "/tmp/hammlet_configs"
 REF_BIN = "/tmp/hammlet_ref/hammlet"
 BURNIN, WARM, SWEEPS, THIN = 64, 64, 128, 4
+#: measured F-phase length per config: long enough that the compiled chunk
+#: length reaches the capacity-scaled target (runner._chunk_for_capacity) —
+#: a 128-sweep phase compiles as ONE 128-sweep chunk and pays the full
+#: ~32 ms tunnel dispatch per 128 sweeps, understating small-T throughput
+#: ~2x (and real users run hundreds of sweeps per phase)
+SWEEPS_FOR = {1: 1024, 2: 1024, 3: 512, 4: 1024, 5: 512}
 
 RESULTS: dict[int, dict] = {}
 
@@ -49,9 +55,13 @@ _T0 = time.time()
 
 def _engine_metrics(eng, desc, cfg, burnin=BURNIN, sweeps=SWEEPS, thin=THIN):
     eng.run("M", burnin, 0)
-    # warm 2 chunks: the first may shrink the block capacity, the second
-    # compiles the measured program at the settled capacity
-    eng.run("F", WARM, thin)
+    # warm TWO rounds of the measured length: the first may shrink the
+    # block capacity, the second compiles the measured program at the
+    # settled capacity — compiled chunk lengths depend on the phase length
+    # (runner._chunk_for_capacity + tail chunks), so warming with any
+    # OTHER length leaves a cold compile inside the measured window
+    eng.run("F", sweeps, thin)
+    eng.run("F", sweeps, thin)
     eng.total_sweeps = 0.0
     eng.sample_time = 0.0
     eng.run("F", sweeps, thin)
@@ -106,7 +116,8 @@ def config1():
     data = _steps([0.0, 1.0, -1.0], 2000, T, 0.35, seed=1)
     _data_file(1, data)
     eng = make_engine(data, nr_params=3, seed=0)
-    _engine_metrics(eng, "synthetic array-CGH ~100k, 3 states", 1)
+    _engine_metrics(eng, "synthetic array-CGH ~100k, 3 states", 1,
+                    sweeps=SWEEPS_FOR[1])
     RESULTS[1]["nr_params"] = 3
 
 
@@ -127,7 +138,8 @@ def config2():
     data += rng.normal(0, 0.15, T).astype(np.float32)
     _data_file(2, data)
     eng = make_engine(data, nr_params=5, seed=0)
-    _engine_metrics(eng, "Coriell-like array-CGH, 5 states, auto priors", 2)
+    _engine_metrics(eng, "Coriell-like array-CGH, 5 states, auto priors", 2,
+                    sweeps=SWEEPS_FOR[2])
     RESULTS[2]["nr_params"] = 5
 
 
@@ -140,7 +152,8 @@ def config3():
     data = _steps([0.0, 2.0, -2.0], 500, T, 1.0, seed=3)
     _data_file(3, data)
     eng = make_engine(data, nr_params=3, seed=0)
-    _engine_metrics(eng, f"WGS depth-of-coverage chromosome ({T/1e6:.0f}M)", 3)
+    _engine_metrics(eng, f"WGS depth-of-coverage chromosome ({T/1e6:.0f}M)",
+                    3, sweeps=SWEEPS_FOR[3])
     RESULTS[3]["nr_params"] = 3
 
 
@@ -154,7 +167,8 @@ def config4():
     data = _steps(means, 800, T, 1.0, seed=4, dim=2)
     _data_file(4, data)
     eng = make_engine(data, nr_params=3, nr_data_dim=2, seed=0)
-    _engine_metrics(eng, "multivariate 2-track, 9 states", 4)
+    _engine_metrics(eng, "multivariate 2-track, 9 states", 4,
+                    sweeps=SWEEPS_FOR[4])
     RESULTS[4]["nr_params"] = 3
 
 
@@ -174,7 +188,7 @@ def config5():
     )
     _engine_metrics(
         eng, f"position-sharded over {n_dev} device(s) ({T/1e6:.0f}M)", 5,
-        burnin=32, sweeps=64,
+        burnin=32, sweeps=SWEEPS_FOR[5],
     )
     RESULTS[5]["nr_params"] = 3
     RESULTS[5]["ref_note"] = (
@@ -201,7 +215,7 @@ def _reference_sps(cfg: int) -> float | None:
     F sweeps (bench.py protocol). Cached per (config, sizes)."""
     e = RESULTS[cfg]
     burnin = 32 if cfg == 5 else BURNIN
-    sweeps = 64 if cfg == 5 else SWEEPS
+    sweeps = SWEEPS_FOR.get(cfg, SWEEPS)
     path = os.path.join(WORKDIR, f"cfg{cfg}_{e['T']}.csv")
     cache = path + f".ref_{burnin}_{sweeps}.json"
     if os.path.exists(cache):
@@ -259,8 +273,9 @@ def main(argv):
         "compiled reference binary (same data file, same -i scheme; "
         "sampling time isolated by run differencing)",
         "scale": SCALE,
-        "scheme": f"M {BURNIN} 0 F {WARM}+{SWEEPS} {THIN} "
-        "(config 5: M 32 0 F 64+64 4)",
+        "scheme": f"M {BURNIN} 0 (config 5: M 32 0), warm 2x + measure "
+        f"F {SWEEPS_FOR} {THIN}; reference runs F {WARM}+measured with "
+        "run differencing",
         "reference_host": "2-core shared build host (single-threaded C++)",
         "configs": [RESULTS[c] for c in sorted(RESULTS)],
     }
