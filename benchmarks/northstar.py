@@ -47,9 +47,12 @@ def measure(T: int, sweeps: int, burnin: int, thin: int = 4) -> dict:
     log(f"[northstar] T={T}: building engine")
     eng = make_engine(data, nr_params=3, seed=0)
     eng.run("M", burnin, 0)
-    # two warm chunks so the block capacity settles before measurement
-    eng.run("F", 256, thin)
-    eng.run("F", 256, thin)
+    # two warm rounds OF THE MEASURED LENGTH: the block capacity settles,
+    # and the compiled chunk shapes depend on the phase length
+    # (runner._chunk_for_capacity + tail chunks) — warming with any other
+    # length leaves a cold compile inside the measured window
+    eng.run("F", sweeps, thin)
+    eng.run("F", sweeps, thin)
     best = 0.0
     for _ in range(2):
         eng.total_sweeps = 0.0
@@ -84,7 +87,7 @@ def main() -> int:
         int(float(x) * 1e6)
         for x in os.environ.get("HAMMLET_NS_TS", "1,4,16,64").split(",")
     ]
-    sweeps = int(os.environ.get("HAMMLET_NS_SWEEPS", 96))
+    sweeps = int(os.environ.get("HAMMLET_NS_SWEEPS", 512))
     points = []
     for T in ts:
         p = measure(T, sweeps=sweeps, burnin=48)
