@@ -336,10 +336,18 @@ def _run(args: dict[str, list[str]]) -> int:
         opref,
         osuff,
         nr_params**nr_dim,
-        outputs=outputs - {"mapping"},
+        outputs=outputs,
         overwrite=overwrite,
         write=is_primary(),
     )
+    if "mapping" in outputs:
+        # -O D/mapping: the state -> emission-parameter assignment is static
+        # (combinations scheme), so it is written once up front. Upstream
+        # registers the flag but leaves the handler an empty TODO
+        # (main.cpp:249-252); we write the documented content.
+        from hammlet_tpu.models.mapping import combinations_mapping
+
+        records.save_mapping(combinations_mapping(nr_dim, nr_params))
     if n_devices > 1:
         from hammlet_tpu.parallel import make_sharded_engine, position_mesh
 

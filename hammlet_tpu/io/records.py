@@ -74,7 +74,7 @@ class Records:
         self._files: dict[str, IO[str]] = {}
         if not write:
             return
-        for name in self.STREAMS:
+        for name in self.STREAMS + ("mapping",):
             if name in self.enabled:
                 path = prefix + name + suffix
                 if os.path.exists(path) and not overwrite:
@@ -218,6 +218,20 @@ class Records:
                 )
                 + "\n"
             )
+
+    def save_mapping(self, mapping: np.ndarray) -> None:
+        """Write the state -> emission-parameter mapping, one row per state,
+        one tab-separated parameter index per data dimension.
+
+        The reference registers -O D/mapping "output the emission mappings
+        for each state" (main.cpp:244) but its handler body is an empty TODO
+        (main.cpp:249-252); this implements the documented intent.
+        """
+        if "mapping" not in self._files:
+            return
+        f = self._files["mapping"]
+        for row in np.asarray(mapping):
+            f.write("\t".join(str(int(p)) for p in row) + "\n")
 
     # -- final marginals --------------------------------------------------
 

@@ -74,8 +74,9 @@ OPTIONS
           C compression  one float per recorded sweep: T / #blocks
           G segments     per recorded sweep: number of marginal segments
                          and the marginal store size (diagnostics)
-          D mapping      accepted for compatibility; not emitted (the
-                         reference leaves this unimplemented as well)
+          D mapping      the state-to-emission-parameter mapping, one row
+                         per state, one parameter index per data dimension
+                         (written once; the mapping is static)
 
   Model
     -s, -states [C] P [D]

@@ -264,3 +264,32 @@ def test_multi_sequence_independent_chains(tmp_path):
         (tmp_path / "wgs-chr1-marginals.csv").read_text()
         == (tmp_path / "solo-marginals.csv").read_text()
     )
+
+
+def test_mapping_output(tmp_path):
+    """-O D writes the state -> emission-parameter mapping (one row per
+    state, one parameter index per data dimension). Upstream registers the
+    flag (main.cpp:244) but its handler is an empty TODO (main.cpp:249-252);
+    we implement the documented intent, including the overwrite guard."""
+    rng = np.random.default_rng(0)
+    T = 600
+    d = np.column_stack([rng.normal(0, 1, T), rng.normal(2, 1, T)])
+    f = tmp_path / "mv.csv"
+    np.savetxt(f, d)
+    argv = ["-f", str(f), "-o", str(tmp_path / "map-"), ".csv",
+            "-s", "C", "2", "2", "-a", "-R", "1", "-i", "F", "2", "0",
+            "-O", "M", "D", "-w"]
+    assert cli_main(argv) == 0
+    out = (tmp_path / "map-mapping.csv").read_text().splitlines()
+    # combinations scheme: K = 2^2 states, reversed base-2 digits
+    assert out == ["0\t0", "1\t0", "0\t1", "1\t1"]
+    from hammlet_tpu.models.mapping import combinations_mapping
+
+    expect = combinations_mapping(2, 2)
+    got = np.array([[int(x) for x in line.split("\t")] for line in out])
+    np.testing.assert_array_equal(got, expect)
+    # marginals still written alongside
+    assert (tmp_path / "map-marginals.csv").exists()
+    # overwrite guard applies to the mapping stream too
+    rc = cli_main([a for a in argv if a != "-w"])
+    assert rc == 1
