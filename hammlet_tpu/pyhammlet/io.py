@@ -27,6 +27,12 @@ def readCompressedStateSequences(filename) -> list[RunLengthArray]:
     return result
 
 
+def readMapping(filename) -> np.ndarray:
+    """mapping CSV (-O D: one row per state, one emission-parameter index
+    per data dimension) -> (K, dim) int array."""
+    return np.loadtxt(filename, dtype=int, ndmin=2)
+
+
 def readBlockSizes(filename) -> RunLengthArray:
     """blocks CSV -> per-position block-size matrix (positions x sweeps),
     run-length-compressed over the union of all block boundaries."""

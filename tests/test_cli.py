@@ -288,6 +288,11 @@ def test_mapping_output(tmp_path):
     expect = combinations_mapping(2, 2)
     got = np.array([[int(x) for x in line.split("\t")] for line in out])
     np.testing.assert_array_equal(got, expect)
+    from hammlet_tpu.pyhammlet.io import readMapping
+
+    np.testing.assert_array_equal(
+        readMapping(tmp_path / "map-mapping.csv"), expect
+    )
     # marginals still written alongside
     assert (tmp_path / "map-marginals.csv").exists()
     # overwrite guard applies to the mapping stream too
